@@ -1,0 +1,103 @@
+"""Precomputed multi-resolution point geometry.
+
+The reference recomputes FPS + kNN inside every PointTransformer layer, per
+forward pass (reference: pointtransformer.py:29-30,61-63 — each of the
+[2,3,4,6,3] blocks re-runs queryandgroup on identical coordinates). All of
+that geometry depends only on the point coordinates, not on features, so a
+TPU-first design computes it ONCE per batch into a ``LevelGeometry`` pytree
+and feeds it to every layer. During diffusion sampling the condition point
+cloud is constant across the whole denoising chain, so the hierarchy is
+hoisted entirely out of the ``lax.scan``.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from .pointops import farthest_point_sampling, interpolation_weights, knn
+
+
+@struct.dataclass
+class LevelGeometry:
+    """Geometry of one resolution level of the point hierarchy.
+
+    All index arrays are per-batch (leading B dim). Fields that don't apply
+    to level 0 are None.
+    """
+
+    xyz: jnp.ndarray                     # (B, N_l, 3)
+    knn_idx: jnp.ndarray                 # (B, N_l, k) neighbours within this level
+    fps_idx: Optional[jnp.ndarray]       # (B, N_l) indices into the parent level
+    down_knn_idx: Optional[jnp.ndarray]  # (B, N_l, k) neighbours in the parent level
+    up_idx: Optional[jnp.ndarray]        # (B, N_parent, 3) this-level NNs of parent points
+    up_weight: Optional[jnp.ndarray]     # (B, N_parent, 3) inverse-distance weights
+
+    @property
+    def num_points(self) -> int:
+        return self.xyz.shape[1]
+
+
+def _level_geom(
+    parent_xyz: jnp.ndarray,
+    stride: int,
+    nsample: int,
+    with_up: bool,
+) -> LevelGeometry:
+    """Per-sample geometry for one downsampling step ((N, 3) arrays)."""
+    n = parent_xyz.shape[0]
+    if stride == 1:
+        xyz = parent_xyz
+        fps_idx = None
+        down_knn_idx = None
+    else:
+        m = n // stride
+        fps_idx = farthest_point_sampling(parent_xyz, m)
+        xyz = jnp.take(parent_xyz, fps_idx, axis=0)
+        down_knn_idx, _ = knn(xyz, parent_xyz, nsample)
+
+    knn_idx, _ = knn(xyz, xyz, nsample)
+
+    up_idx = up_weight = None
+    if with_up and stride != 1:
+        up_idx, up_dist = knn(parent_xyz, xyz, 3)
+        up_weight = interpolation_weights(up_dist)
+
+    return LevelGeometry(
+        xyz=xyz,
+        knn_idx=knn_idx,
+        fps_idx=fps_idx,
+        down_knn_idx=down_knn_idx,
+        up_idx=up_idx,
+        up_weight=up_weight,
+    )
+
+
+def build_point_hierarchy(
+    xyz: jnp.ndarray,
+    strides: Sequence[int],
+    nsamples: Sequence[int],
+    *,
+    with_up: bool = True,
+) -> List[LevelGeometry]:
+    """Build the full hierarchy for a batch of clouds, (B, N, 3).
+
+    ``strides``/``nsamples`` follow the encoder definition, e.g. the
+    4-level SceneMap encoders use ([1, 4, 4, 4], [8, 16, 16, 16]) and the
+    5-level PointTransformerSeg uses ([1, 4, 4, 4, 4], [8, 16, 16, 16, 16])
+    (reference: models/modules.py:66, pointtransformer.py:133).
+    """
+    assert len(strides) == len(nsamples)
+
+    def per_sample(p):
+        levels = []
+        parent = p
+        for stride, nsample in zip(strides, nsamples):
+            geom = _level_geom(parent, stride, nsample, with_up)
+            levels.append(geom)
+            parent = geom.xyz
+        return tuple(levels)
+
+    return list(jax.vmap(per_sample)(xyz))

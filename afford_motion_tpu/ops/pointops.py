@@ -1,0 +1,175 @@
+"""Point-cloud primitives in a dense ``(B, N, C)`` layout.
+
+TPU-native replacement for the reference's ``pointops_cuda`` extension
+(reference: models/scene_models/pointops.py:10-214). The reference uses a
+flattened layout with per-batch offset vectors to support ragged batches;
+every shipped config uses a fixed ``num_points=8192``
+(configs/task/contact_gen.yaml:53), so this rebuild uses dense per-sample
+arrays and ``vmap`` — static shapes keep everything jittable and MXU-tiled:
+
+- kNN is a chunked distance-matrix + ``lax.top_k`` (the distance matrix is
+  one big matmul on the MXU; chunking bounds VMEM/HBM footprint),
+- FPS is the exact greedy algorithm as a ``lax.fori_loop`` (a Pallas
+  VMEM-resident kernel is available in ``ops.pallas.fps`` for large point
+  counts),
+- grouping/subtraction/aggregation/interpolation are gathers + einsums that
+  XLA fuses — no custom kernels needed (SURVEY.md §2.9 plan).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+
+def pairwise_sqdist(query: jnp.ndarray, support: jnp.ndarray) -> jnp.ndarray:
+    """Squared euclidean distances, (m, 3) x (n, 3) -> (m, n).
+
+    Expanded form ``|q|^2 - 2 q.s + |s|^2`` so the cross term is a matmul.
+    """
+    q2 = jnp.sum(query * query, axis=-1, keepdims=True)          # (m, 1)
+    s2 = jnp.sum(support * support, axis=-1, keepdims=True).T    # (1, n)
+    # HIGHEST precision: TPU f32 matmuls default to bf16 passes, which is
+    # far too coarse for nearest-neighbour ordering and interpolation
+    # weights. The K dim is 3, so the extra passes are free in practice.
+    cross = jnp.dot(
+        query, support.T,
+        preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
+    )
+    d = q2 - 2.0 * cross + s2
+    return jnp.maximum(d, 0.0)
+
+
+def knn(
+    query: jnp.ndarray,
+    support: jnp.ndarray,
+    k: int,
+    *,
+    chunk: int = 1024,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """k nearest neighbours of each query point among the support points.
+
+    Returns (idx (m, k) int32, dist (m, k) sqrt-distances) — matching the
+    reference knnquery contract (pointops.py:30-45) which returns sqrt
+    distances. Queries are processed in chunks so only a (chunk, n) slice of
+    the distance matrix is live at a time.
+    """
+    m = query.shape[0]
+    chunk = min(chunk, m)
+    if m % chunk != 0:  # fall back to one shot for odd sizes
+        chunk = m
+
+    def one_chunk(q):
+        d = pairwise_sqdist(q, support)
+        neg_d, idx = lax.top_k(-d, k)
+        return idx.astype(jnp.int32), jnp.sqrt(-neg_d)
+
+    if chunk == m:
+        return one_chunk(query)
+
+    qs = query.reshape(m // chunk, chunk, -1)
+    idx, dist = lax.map(one_chunk, qs)
+    return idx.reshape(m, k), dist.reshape(m, k)
+
+
+def farthest_point_sampling(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """Greedy farthest point sampling, (n, 3) -> (num_samples,) int32.
+
+    Exact same selection rule as the reference CUDA kernel
+    (pointops.py:10-27): start from index 0, then repeatedly take the point
+    maximizing the min squared distance to the selected set.
+    """
+    n = points.shape[0]
+
+    def body(i, state):
+        min_d, idxs, last = state
+        delta = points - points[last]
+        d = jnp.sum(delta * delta, axis=-1)
+        min_d = jnp.minimum(min_d, d)
+        nxt = jnp.argmax(min_d).astype(jnp.int32)
+        idxs = idxs.at[i].set(nxt)
+        return min_d, idxs, nxt
+
+    idxs = jnp.zeros((num_samples,), dtype=jnp.int32)
+    init = (jnp.full((n,), jnp.inf, dtype=jnp.float32), idxs, jnp.int32(0))
+    _, idxs, _ = lax.fori_loop(1, num_samples, body, init)
+    return idxs
+
+
+def gather_points(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(n, c), (m,) -> (m, c)."""
+    return jnp.take(x, idx, axis=0)
+
+
+def group_points(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(n, c), (m, k) -> (m, k, c) — the reference 'grouping' op
+    (pointops.py:48-76); backward is jnp.take's native scatter-add VJP."""
+    return jnp.take(x, idx, axis=0)
+
+
+def query_and_group(
+    k: int,
+    support_xyz: jnp.ndarray,
+    query_xyz: Optional[jnp.ndarray],
+    feats: jnp.ndarray,
+    *,
+    idx: Optional[jnp.ndarray] = None,
+    use_xyz: bool = True,
+) -> jnp.ndarray:
+    """kNN + gather + relative-xyz concat (reference: pointops.py:79-100).
+
+    Returns (m, k, 3+c) if use_xyz else (m, k, c). Pass ``idx`` to reuse
+    precomputed neighbour indices (the hierarchy cache).
+    """
+    if query_xyz is None:
+        query_xyz = support_xyz
+    if idx is None:
+        idx, _ = knn(query_xyz, support_xyz, k)
+    grouped_xyz = group_points(support_xyz, idx) - query_xyz[:, None, :]
+    grouped_feat = group_points(feats, idx)
+    if use_xyz:
+        return jnp.concatenate([grouped_xyz, grouped_feat], axis=-1)
+    return grouped_feat
+
+
+def interpolate_three_nn(
+    coarse_xyz: jnp.ndarray,
+    fine_xyz: jnp.ndarray,
+    coarse_feats: jnp.ndarray,
+    *,
+    k: int = 3,
+    idx: Optional[jnp.ndarray] = None,
+    dist: Optional[jnp.ndarray] = None,
+) -> jnp.ndarray:
+    """Inverse-distance k-NN feature upsampling (reference: pointops.py:164-178).
+
+    Weights are 1/(sqrt_dist + 1e-8), normalized — identical to the
+    reference's interpolation().
+    """
+    if idx is None or dist is None:
+        idx, dist = knn(fine_xyz, coarse_xyz, k)
+    weight = interpolation_weights(dist)
+    gathered = group_points(coarse_feats, idx)          # (n, k, c)
+    return jnp.einsum("nkc,nk->nc", gathered, weight)
+
+
+def interpolation_weights(sqrt_dist: jnp.ndarray) -> jnp.ndarray:
+    recip = 1.0 / (sqrt_dist + 1e-8)
+    return recip / jnp.sum(recip, axis=-1, keepdims=True)
+
+
+# Batched wrappers -----------------------------------------------------------
+@functools.partial(jax.jit, static_argnums=(2,))
+def batched_knn(query: jnp.ndarray, support: jnp.ndarray, k: int):
+    """(B, m, 3), (B, n, 3) -> idx (B, m, k), dist (B, m, k)."""
+    return jax.vmap(lambda q, s: knn(q, s, k))(query, support)
+
+
+@functools.partial(jax.jit, static_argnums=(1,))
+def batched_fps(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
+    """(B, n, 3) -> (B, num_samples) int32."""
+    return jax.vmap(lambda p: farthest_point_sampling(p, num_samples))(points)

@@ -1,11 +1,21 @@
 """Test config: run everything on a virtual 8-device CPU mesh so
 multi-chip sharding logic is exercised without TPU hardware
-(SURVEY.md §4 rebuild strategy)."""
+(SURVEY.md §4 rebuild strategy).
+
+The container's sitecustomize registers the remote 'axon' TPU backend and
+forces jax_platforms='axon,cpu', so setting the env var is not enough —
+we must override jax.config before any backend initializes. Unit tests on
+the remote TPU would pay a network round-trip per op.
+"""
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
