@@ -1,0 +1,181 @@
+"""Shared NN building blocks (reference: models/modules.py:10-53 and the
+torch nn.Transformer* layers used by models/cmdm.py:66-113).
+
+Everything is flax.linen with explicit ``train`` flags; attention is plain
+einsum that XLA fuses (sequence lengths here are ≤ a few hundred tokens +
+8192-point KV sets — no flash/blockwise attention needed, SURVEY.md §5).
+
+PyTorch-parity notes:
+- ``TransformerEncoderLayer``/``TransformerDecoderLayer`` replicate torch's
+  POST-layer-norm ordering (torch default norm_first=False), which the
+  reference relies on (models/cmdm.py:66-77).
+- masks follow the torch convention: True = padding (ignore).
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+
+def sinusoidal_table(max_len: int, dim: int) -> np.ndarray:
+    """Classic transformer sin/cos table, (max_len, dim), float32
+    (reference: models/modules.py:10-26)."""
+    position = np.arange(max_len, dtype=np.float64)[:, None]
+    div_term = np.exp(np.arange(0, dim, 2, dtype=np.float64) * (-math.log(10000.0) / dim))
+    pe = np.zeros((max_len, dim), dtype=np.float64)
+    pe[:, 0::2] = np.sin(position * div_term)
+    pe[:, 1::2] = np.cos(position * div_term[: pe[:, 1::2].shape[1]])
+    return pe.astype(np.float32)
+
+
+class PositionalEncoding(nn.Module):
+    """Add sinusoidal PE over the sequence dim of (B, L, D)
+    (reference: models/modules.py:28-36; the reference permutes to (L, B, D)
+    first — same values, batch-first here)."""
+
+    dim: int
+    dropout: float = 0.1
+    max_len: int = 5000
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        pe = jnp.asarray(sinusoidal_table(self.max_len, self.dim))
+        x = x + pe[None, : x.shape[1], :]
+        return nn.Dropout(self.dropout, deterministic=not train)(x)
+
+
+class TimestepEmbedder(nn.Module):
+    """Sinusoidal timestep lookup + 2-layer SiLU MLP -> (B, 1, d_model)
+    (reference: models/modules.py:38-53)."""
+
+    d_model: int
+    time_embed_dim: int
+    max_len: int = 1000
+
+    @nn.compact
+    def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
+        pe = jnp.asarray(sinusoidal_table(self.max_len, self.time_embed_dim))
+        emb = pe[timesteps][:, None, :]  # (B, 1, time_embed_dim)
+        emb = nn.Dense(self.d_model)(emb)
+        emb = nn.silu(emb)
+        emb = nn.Dense(self.d_model)(emb)
+        return emb
+
+
+def _attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    num_heads: int,
+    pad_mask: Optional[jnp.ndarray],
+    dropout: nn.Dropout,
+) -> jnp.ndarray:
+    """Masked scaled-dot-product attention over (B, L, H*C) projections."""
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+    q = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
+    k = k.reshape(B, Lk, num_heads, -1).transpose(0, 2, 1, 3)
+    v = v.reshape(B, Lk, num_heads, -1).transpose(0, 2, 1, 3)
+    attn = jnp.einsum("bhic,bhjc->bhij", q * (hd ** -0.5), k)
+    if pad_mask is not None:
+        neg = jnp.finfo(attn.dtype).min
+        attn = jnp.where(pad_mask[:, None, None, :], neg, attn)
+    attn = nn.softmax(attn, axis=-1)
+    attn = dropout(attn)
+    o = jnp.einsum("bhij,bhjc->bhic", attn, v)
+    return o.transpose(0, 2, 1, 3).reshape(B, Lq, -1)
+
+
+class TorchMultiHeadAttention(nn.Module):
+    """torch.nn.MultiheadAttention-equivalent (packed qkv, out proj)."""
+
+    d_model: int
+    num_heads: int
+    dropout: float = 0.0
+
+    @nn.compact
+    def __call__(self, query, key, value, pad_mask=None, *, train: bool = False):
+        q = nn.Dense(self.d_model)(query)
+        k = nn.Dense(self.d_model)(key)
+        v = nn.Dense(self.d_model)(value)
+        drop = nn.Dropout(self.dropout, deterministic=not train)
+        o = _attention(q, k, v, self.num_heads, pad_mask, drop)
+        return nn.Dense(self.d_model)(o)
+
+
+class TransformerEncoderLayer(nn.Module):
+    """Post-LN encoder layer, torch semantics (self-attn -> add -> LN ->
+    FFN -> add -> LN)."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None, *, train: bool = False):
+        attn = TorchMultiHeadAttention(self.d_model, self.num_heads, self.dropout)(
+            x, x, x, pad_mask, train=train
+        )
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
+        x = nn.LayerNorm()(x)
+        h = nn.Dense(self.dim_feedforward)(x)
+        h = self.activation(h)
+        h = nn.Dropout(self.dropout, deterministic=not train)(h)
+        h = nn.Dense(self.d_model)(h)
+        x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
+        return nn.LayerNorm()(x)
+
+
+class TransformerEncoder(nn.Module):
+    """Stack of post-LN encoder layers (torch nn.TransformerEncoder)."""
+
+    num_layers: int
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x, pad_mask=None, *, train: bool = False):
+        for _ in range(self.num_layers):
+            x = TransformerEncoderLayer(
+                self.d_model, self.num_heads, self.dim_feedforward,
+                self.dropout, self.activation,
+            )(x, pad_mask, train=train)
+        return x
+
+
+class TransformerDecoderLayer(nn.Module):
+    """Post-LN decoder layer: self-attn, cross-attn to memory, FFN
+    (torch nn.TransformerDecoderLayer, used by models/cmdm.py:104-113)."""
+
+    d_model: int
+    num_heads: int
+    dim_feedforward: int
+    dropout: float = 0.1
+    activation: Callable = nn.gelu
+
+    @nn.compact
+    def __call__(self, x, memory, tgt_pad_mask=None, mem_pad_mask=None, *, train: bool = False):
+        drop = lambda: nn.Dropout(self.dropout, deterministic=not train)
+        attn = TorchMultiHeadAttention(self.d_model, self.num_heads, self.dropout)(
+            x, x, x, tgt_pad_mask, train=train
+        )
+        x = nn.LayerNorm()(x + drop()(attn))
+        cross = TorchMultiHeadAttention(self.d_model, self.num_heads, self.dropout)(
+            x, memory, memory, mem_pad_mask, train=train
+        )
+        x = nn.LayerNorm()(x + drop()(cross))
+        h = nn.Dense(self.dim_feedforward)(x)
+        h = self.activation(h)
+        h = drop()(h)
+        h = nn.Dense(self.d_model)(h)
+        return nn.LayerNorm()(x + drop()(h))

@@ -1,0 +1,324 @@
+"""PointTransformer in dense (B, N, C) layout on precomputed hierarchies.
+
+Capability-equivalent to the reference backbone
+(reference: models/scene_models/pointtransformer.py:9-291) with the
+TPU-first restructuring from SURVEY.md §2.9/§7:
+
+- all geometry (FPS / kNN / 3-NN interpolation indices) comes from a
+  ``LevelGeometry`` list built once per batch (ops/hierarchy.py) instead of
+  being recomputed inside every layer;
+- the flattened-with-offsets ragged layout becomes dense per-sample arrays
+  (every shipped config uses fixed num_points);
+- vector self-attention / grouping / pooling are gathers + reshapes + MXU
+  matmuls that XLA fuses.
+
+Normalization: the reference uses BatchNorm1d throughout
+(pointtransformer.py:19-22,50) with SyncBN under DDP (train_ddp.py:63).
+Here BatchNorm stats are computed over all non-feature axes; under
+jit-with-sharding data parallelism XLA computes the cross-device reduction
+automatically (GSPMD "sync BN" for free). ``norm='layer'`` is available as
+a documented deviation flag.
+"""
+from __future__ import annotations
+
+from typing import List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.hierarchy import LevelGeometry
+
+
+def bgather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Batched gather: x (B, N, C), idx (B, ...) -> (B, ..., C)."""
+    return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
+
+
+class PointNorm(nn.Module):
+    """Per-channel normalization over all non-feature axes."""
+
+    kind: str = "batch"  # 'batch' | 'layer'
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
+        if self.kind == "batch":
+            return nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            )(x)
+        if self.kind == "layer":
+            return nn.LayerNorm()(x)
+        raise ValueError(self.kind)
+
+
+class PointTransformerLayer(nn.Module):
+    """Vector self-attention over kNN neighbourhoods
+    (reference: pointtransformer.py:9-38)."""
+
+    out_planes: int
+    share_planes: int = 8
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, p, x, knn_idx, *, train: bool = False):
+        C, s = self.out_planes, self.share_planes
+        B, N, K = knn_idx.shape
+
+        x_q = nn.Dense(C)(x)
+        x_k = bgather(nn.Dense(C)(x), knn_idx)              # (B, N, K, C)
+        x_v = bgather(nn.Dense(C)(x), knn_idx)              # (B, N, K, C)
+        rel = bgather(p, knn_idx) - p[:, :, None, :]        # (B, N, K, 3)
+
+        # positional MLP: Dense(3) -> BN -> ReLU -> Dense(C)
+        p_r = nn.Dense(3)(rel)
+        p_r = nn.relu(PointNorm(self.norm)(p_r, train=train))
+        p_r = nn.Dense(C)(p_r)
+
+        # attention-weight MLP on (k - q + p_r), shared-plane reduced
+        w = x_k - x_q[:, :, None, :] + p_r
+        w = nn.relu(PointNorm(self.norm)(w, train=train))
+        w = nn.Dense(C // s)(w)
+        w = nn.relu(PointNorm(self.norm)(w, train=train))
+        w = nn.Dense(C // s)(w)
+        w = nn.softmax(w, axis=2)                           # over neighbours
+
+        # each group of `s` channel-planes shares one weight column
+        agg = (x_v + p_r).reshape(B, N, K, s, C // s) * w[:, :, :, None, :]
+        return agg.sum(axis=2).reshape(B, N, C)
+
+
+class TransitionDown(nn.Module):
+    """Strided downsampling: FPS + kNN grouping + linear + max-pool
+    (reference: pointtransformer.py:41-69). Geometry comes precomputed."""
+
+    out_planes: int
+    stride: int = 1
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, parent_xyz, x, geom: LevelGeometry, *, train: bool = False):
+        if self.stride == 1:
+            h = nn.Dense(self.out_planes, use_bias=False)(x)
+            return nn.relu(PointNorm(self.norm)(h, train=train))
+        new_xyz = geom.xyz
+        rel = bgather(parent_xyz, geom.down_knn_idx) - new_xyz[:, :, None, :]
+        grouped = jnp.concatenate([rel, bgather(x, geom.down_knn_idx)], axis=-1)
+        h = nn.Dense(self.out_planes, use_bias=False)(grouped)  # (B, M, K, C)
+        h = nn.relu(PointNorm(self.norm)(h, train=train))
+        return h.max(axis=2)
+
+
+class TransitionUp(nn.Module):
+    """Upsampling fusion (reference: pointtransformer.py:72-99).
+
+    Head form (``coarse_x is None``): concat with a global context vector.
+    Fusion form: linear(fine) + 3-NN-interpolated linear(coarse), with the
+    interpolation indices/weights from the coarse level's geometry.
+    """
+
+    out_planes: int
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        coarse_x: Optional[jnp.ndarray] = None,
+        coarse_geom: Optional[LevelGeometry] = None,
+        *,
+        train: bool = False,
+    ):
+        if coarse_x is None:
+            C = self.out_planes
+            g = nn.relu(nn.Dense(C)(x.mean(axis=1, keepdims=True)))
+            h = jnp.concatenate([x, jnp.broadcast_to(g, x.shape[:-1] + (C,))], axis=-1)
+            h = nn.Dense(C)(h)
+            return nn.relu(PointNorm(self.norm)(h, train=train))
+
+        a = nn.Dense(self.out_planes)(x)
+        a = nn.relu(PointNorm(self.norm)(a, train=train))
+        b = nn.Dense(self.out_planes)(coarse_x)
+        b = nn.relu(PointNorm(self.norm)(b, train=train))
+        gathered = bgather(b, coarse_geom.up_idx)           # (B, N_fine, 3, C)
+        b_up = jnp.einsum("bnkc,bnk->bnc", gathered, coarse_geom.up_weight)
+        return a + b_up
+
+
+class PointTransformerBlock(nn.Module):
+    """Residual bottleneck around the vector-attention layer
+    (reference: pointtransformer.py:102-123)."""
+
+    planes: int
+    share_planes: int = 8
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, p, x, knn_idx, *, train: bool = False):
+        identity = x
+        h = nn.Dense(self.planes, use_bias=False)(x)
+        h = nn.relu(PointNorm(self.norm)(h, train=train))
+        h = PointTransformerLayer(self.planes, self.share_planes, self.norm)(
+            p, h, knn_idx, train=train
+        )
+        h = nn.relu(PointNorm(self.norm)(h, train=train))
+        h = nn.Dense(self.planes, use_bias=False)(h)
+        h = PointNorm(self.norm)(h, train=train)
+        return nn.relu(h + identity)
+
+
+class PointEncoderStage(nn.Module):
+    """TransitionDown + (blocks-1) PointTransformerBlocks — one 'enc_i'."""
+
+    planes: int
+    blocks: int
+    stride: int
+    share_planes: int = 8
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(self, parent_xyz, x, geom: LevelGeometry, *, train: bool = False):
+        x = TransitionDown(self.planes, self.stride, self.norm)(
+            parent_xyz, x, geom, train=train
+        )
+        for _ in range(1, self.blocks):
+            x = PointTransformerBlock(self.planes, self.share_planes, self.norm)(
+                geom.xyz, x, geom.knn_idx, train=train
+            )
+        return x
+
+
+class PointDecoderStage(nn.Module):
+    """TransitionUp + (blocks-1) PointTransformerBlocks — one 'dec_i'."""
+
+    planes: int
+    blocks: int = 2
+    share_planes: int = 8
+    norm: str = "batch"
+    is_head: bool = False
+
+    @nn.compact
+    def __call__(
+        self,
+        x,
+        geom: LevelGeometry,
+        coarse_x: Optional[jnp.ndarray] = None,
+        coarse_geom: Optional[LevelGeometry] = None,
+        *,
+        train: bool = False,
+    ):
+        x = TransitionUp(self.planes, self.norm)(
+            x, None if self.is_head else coarse_x,
+            None if self.is_head else coarse_geom, train=train,
+        )
+        for _ in range(1, self.blocks):
+            x = PointTransformerBlock(self.planes, self.share_planes, self.norm)(
+                geom.xyz, x, geom.knn_idx, train=train
+            )
+        return x
+
+
+class PointTransformerEncoder(nn.Module):
+    """Generic multi-stage encoder; returns per-level feature list."""
+
+    planes: Sequence[int]
+    blocks: Sequence[int]
+    strides: Sequence[int]
+    share_planes: int = 8
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(
+        self, levels: List[LevelGeometry], feats: jnp.ndarray, *, train: bool = False
+    ) -> List[jnp.ndarray]:
+        outs = []
+        x = feats
+        parent_xyz = levels[0].xyz
+        for i, (plane, nblocks, stride) in enumerate(
+            zip(self.planes, self.blocks, self.strides)
+        ):
+            x = PointEncoderStage(plane, nblocks, stride, self.share_planes, self.norm)(
+                parent_xyz, x, levels[i], train=train
+            )
+            outs.append(x)
+            parent_xyz = levels[i].xyz
+        return outs
+
+
+class PointTransformerDecoder(nn.Module):
+    """Generic U-Net decoder over encoder outputs; returns per-level list
+    coarsest-first ([x_top, ..., x_0])."""
+
+    planes: Sequence[int]
+    share_planes: int = 8
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(
+        self, levels: List[LevelGeometry], enc_feats: List[jnp.ndarray],
+        *, train: bool = False,
+    ) -> List[jnp.ndarray]:
+        L = len(enc_feats)
+        outs = []
+        x = PointDecoderStage(self.planes[-1], 2, self.share_planes, self.norm, is_head=True)(
+            enc_feats[-1], levels[-1], train=train
+        )
+        outs.append(x)
+        for i in range(L - 2, -1, -1):
+            x = PointDecoderStage(self.planes[i], 2, self.share_planes, self.norm)(
+                enc_feats[i], levels[i], coarse_x=x, coarse_geom=levels[i + 1],
+                train=train,
+            )
+            outs.append(x)
+        return outs
+
+
+# Strides/nsamples of the two canonical configurations.
+SEG_STRIDES: Tuple[int, ...] = (1, 4, 4, 4, 4)
+SEG_NSAMPLES: Tuple[int, ...] = (8, 16, 16, 16, 16)
+SEG_PLANES: Tuple[int, ...] = (32, 64, 128, 256, 512)
+SEG_BLOCKS: Tuple[int, ...] = (2, 3, 4, 6, 3)
+
+SCENEMAP_STRIDES: Tuple[int, ...] = (1, 4, 4, 4)
+SCENEMAP_NSAMPLES: Tuple[int, ...] = (8, 16, 16, 16)
+
+
+class PointTransformerSeg(nn.Module):
+    """5-level U-Net, per-point 32-d features — the frozen scene feature
+    extractor (reference: pointtransformer.py:126-213,285-287)."""
+
+    c: int = 6
+    planes: Sequence[int] = SEG_PLANES
+    blocks: Sequence[int] = SEG_BLOCKS
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(
+        self, levels: List[LevelGeometry], feats: jnp.ndarray, *, train: bool = False
+    ) -> jnp.ndarray:
+        x0 = levels[0].xyz if self.c == 3 else jnp.concatenate([levels[0].xyz, feats], axis=-1)
+        enc = PointTransformerEncoder(
+            self.planes, self.blocks, SEG_STRIDES, norm=self.norm, name="enc"
+        )(levels, x0, train=train)
+        dec = PointTransformerDecoder(self.planes, norm=self.norm, name="dec")(
+            levels, enc, train=train
+        )
+        return dec[-1]  # (B, N, planes[0])
+
+
+class PointTransformerEnc(nn.Module):
+    """Encoder-only variant (reference: pointtransformer.py:216-283)."""
+
+    c: int = 6
+    planes: Sequence[int] = SEG_PLANES
+    blocks: Sequence[int] = SEG_BLOCKS
+    norm: str = "batch"
+
+    @nn.compact
+    def __call__(
+        self, levels: List[LevelGeometry], feats: jnp.ndarray, *, train: bool = False
+    ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        x0 = levels[0].xyz if self.c == 3 else jnp.concatenate([levels[0].xyz, feats], axis=-1)
+        enc = PointTransformerEncoder(
+            self.planes, self.blocks, SEG_STRIDES, norm=self.norm, name="enc"
+        )(levels, x0, train=train)
+        return levels[-1].xyz, enc[-1]  # (B, N/256, 3), (B, N/256, 512)

@@ -59,14 +59,24 @@ def knn(
     the distance matrix is live at a time.
     """
     m = query.shape[0]
+    n = support.shape[0]
+    # If the support set is smaller than k (tiny top hierarchy levels in
+    # tests), clamp and pad by repeating the farthest neighbour.
+    k_eff = min(k, n)
     chunk = min(chunk, m)
     if m % chunk != 0:  # fall back to one shot for odd sizes
         chunk = m
 
     def one_chunk(q):
         d = pairwise_sqdist(q, support)
-        neg_d, idx = lax.top_k(-d, k)
-        return idx.astype(jnp.int32), jnp.sqrt(-neg_d)
+        neg_d, idx = lax.top_k(-d, k_eff)
+        idx = idx.astype(jnp.int32)
+        dist = jnp.sqrt(-neg_d)
+        if k_eff < k:
+            reps = k - k_eff
+            idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], reps, axis=1)], axis=1)
+            dist = jnp.concatenate([dist, jnp.repeat(dist[:, -1:], reps, axis=1)], axis=1)
+        return idx, dist
 
     if chunk == m:
         return one_chunk(query)
