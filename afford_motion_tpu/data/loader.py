@@ -1,0 +1,100 @@
+"""Host-side batching + prefetch (replaces torch DataLoader usage,
+reference: datasets/misc.py:5-13, datasets/*.get_dataloader).
+
+Collation stacks numpy arrays and passes strings/None through as lists —
+the same contract as the reference's collate_fn_general. A background
+thread keeps ``prefetch`` collated batches ready so host data prep overlaps
+device compute (the torch num_workers equivalent for this single-core box).
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Any, Dict, Iterator, List, Optional
+
+import numpy as np
+
+
+def collate_fn_general(batch: List[Dict]) -> Dict[str, Any]:
+    """Stack array fields, list-ify everything else
+    (reference: datasets/misc.py:5-13)."""
+    out: Dict[str, Any] = {}
+    for key in batch[0]:
+        vals = [d[key] for d in batch]
+        if isinstance(vals[0], np.ndarray):
+            out[key] = np.stack(vals)
+        elif isinstance(vals[0], (bool, np.bool_)):
+            out[key] = np.asarray(vals)
+        else:
+            out[key] = vals
+    return out
+
+
+class DataLoader:
+    """Minimal epoch iterator over a map-style dataset."""
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        drop_last: bool = False,
+        collate_fn=collate_fn_general,
+        num_workers: int = 0,   # accepted for config compat; prefetch thread instead
+        prefetch: int = 2,
+        seed: int = 0,
+        pin_memory: bool = False,  # ignored (torch compat)
+        **_unused,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.collate_fn = collate_fn
+        self.prefetch = max(1, prefetch) if num_workers != 0 or prefetch else 0
+        self._rng = np.random.default_rng(seed)
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        """Reshuffle control (the DistributedSampler.set_epoch equivalent,
+        reference: utils/training.py:122-123)."""
+        self._epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def _batch_indices(self) -> List[np.ndarray]:
+        n = len(self.dataset)
+        order = np.arange(n)
+        if self.shuffle:
+            rng = np.random.default_rng(self._rng.integers(2 ** 31) + self._epoch)
+            rng.shuffle(order)
+        stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
+        return [order[i: i + self.batch_size] for i in range(0, stop, self.batch_size)]
+
+    def _produce(self, batches: List[np.ndarray], q: "queue.Queue") -> None:
+        try:
+            for idxs in batches:
+                q.put(self.collate_fn([self.dataset[int(i)] for i in idxs]))
+            q.put(None)
+        except BaseException as e:  # surface worker errors in the consumer
+            q.put(e)
+
+    def __iter__(self) -> Iterator[Dict[str, Any]]:
+        batches = self._batch_indices()
+        if not self.prefetch:
+            for idxs in batches:
+                yield self.collate_fn([self.dataset[int(i)] for i in idxs])
+            return
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        t = threading.Thread(target=self._produce, args=(batches, q), daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            if isinstance(item, BaseException):
+                raise item
+            yield item
+        t.join()

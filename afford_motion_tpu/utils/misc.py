@@ -31,6 +31,17 @@ def compute_repr_dimension(data_repr: str) -> int:
 compute_repr_dimesion = compute_repr_dimension
 
 
+def natsorted(items):
+    """Natural-order sort (replaces the natsort package used by the
+    reference for checkpoint/file ordering, e.g. test.py:47-49)."""
+    import re
+
+    def key(s):
+        return [int(p) if p.isdigit() else p for p in re.split(r"(\d+)", str(s))]
+
+    return sorted(items, key=key)
+
+
 def transform_points(points: np.ndarray, matrix: np.ndarray) -> np.ndarray:
     """Apply a 4x4 homogeneous transform to (N, 3) points.
 

@@ -1,0 +1,190 @@
+"""Data-layer tests on a synthetic data tree with the reference layout."""
+import os
+
+import numpy as np
+import pytest
+
+from afford_motion_tpu.data import create_dataset
+from afford_motion_tpu.data.synthetic import make_synthetic_data_dir
+from afford_motion_tpu.utils.config import DictConfig
+
+N_POINTS = 128
+N_ITEMS = 8
+
+
+@pytest.fixture(scope="module")
+def data_dir(tmp_path_factory):
+    root = tmp_path_factory.mktemp("data")
+    return make_synthetic_data_dir(str(root), n_items=N_ITEMS, num_points=N_POINTS)
+
+
+def contact_map_cfg(data_dir):
+    return DictConfig({
+        "name": "ContactMapDataset",
+        "data_dir": data_dir,
+        "shuffle_seed": 2023,
+        "sets": ["HumanML3D", "HUMANISE", "PROX"],
+        "sets_config": {
+            "HumanML3D": {"ratio": 1.0, "load_text": True, "use_mirror": True, "use_fur": True},
+            "HUMANISE": {"ratio": 1.0, "load_text": True},
+            "PROX": {"ratio": 1.0},
+        },
+        "data_repr": "contact_cont_joints",
+        "data_repr_joints": [0, 10, 11, 12, 20, 21],
+        "use_raw_dist": False,
+        "sigma": 0.5,
+        "num_points": N_POINTS,
+        "use_color": True,
+        "use_openscene": False,
+        "point_feat_dim": 32,
+        "train_transforms": ["RandomRotation", "ApplyTransformCDM", "NumpyToTensor"],
+        "test_transforms": ["NumpyToTensor"],
+        "transform_cfg": {"gravity_dim": 2, "random_mask_prob": 0.1},
+    })
+
+
+def contact_motion_cfg(data_dir):
+    return DictConfig({
+        "name": "ContactMotionDataset",
+        "data_dir": data_dir,
+        "shuffle_seed": 2023,
+        "sets": ["HUMANISE"],
+        "sets_config": {"HUMANISE": {"ratio": 1.0, "load_text": True}},
+        "data_repr": "pos",
+        "contact_type": "contact_cont_joints",
+        "contact_joints": [0, 10, 11, 12, 20, 21],
+        "use_raw_dist": False,
+        "sigma": 0.5,
+        "num_points": N_POINTS,
+        "min_horizon": 24,
+        "max_horizon": 196,
+        "mix_train_ratio": 0.0,
+        "train_transforms": ["RandomRotation", "ApplyTransformCMDM", "NumpyToTensor"],
+        "test_transforms": ["NumpyToTensor"],
+        "transform_cfg": {"gravity_dim": 2, "random_mask_prob": 0.1,
+                          "random_mask_prob_pc": 0.1},
+    })
+
+
+def test_contact_map_dataset_train(data_dir):
+    ds = create_dataset(contact_map_cfg(data_dir), "train")
+    assert len(ds) == 3 * (N_ITEMS * 3 // 4)
+    item = ds[0]
+    assert item["x"].shape == (N_POINTS, 6)
+    assert item["c_pc_xyz"].shape == (N_POINTS, 3)
+    assert item["c_pc_feat"].shape == (N_POINTS, 3)  # rgb
+    assert isinstance(item["c_text"], str)
+    # normalized: roughly zero-mean over the corpus
+    assert abs(float(item["x"].mean())) < 5.0
+    # mean/std cache file was written with the reference naming scheme
+    assert any(f.startswith("Mean_Std_Cont_") for f in os.listdir(data_dir))
+
+
+def test_contact_map_dataset_test_obj_mask(data_dir):
+    ds = create_dataset(contact_map_cfg(data_dir), "test")
+    found_humanise = found_none = False
+    for i in range(len(ds)):
+        item = ds[i]
+        if item["info_set"] == "HUMANISE":
+            assert item["info_obj_mask"].shape == (N_POINTS,)
+            found_humanise = True
+        else:
+            assert item["info_obj_mask"] is None
+            found_none = True
+    assert found_humanise and found_none
+
+
+def test_test_order_is_deterministic(data_dir):
+    ds1 = create_dataset(contact_map_cfg(data_dir), "test")
+    ds2 = create_dataset(contact_map_cfg(data_dir), "test")
+    assert ds1.indices == ds2.indices
+
+
+def test_contact_motion_dataset_and_loader(data_dir):
+    ds = create_dataset(contact_motion_cfg(data_dir), "train")
+    item = ds[0]
+    assert item["x"].shape == (196, 66)
+    assert item["x_mask"].shape == (196,)
+    assert item["x_mask"].dtype == bool
+    assert item["c_pc_contact"].shape == (N_POINTS, 6)
+    # contact values are Gaussian-kernel mapped to (0, 1]
+    assert item["c_pc_contact"].max() <= 1.0 and item["c_pc_contact"].min() >= 0.0
+
+    dl = ds.get_dataloader(batch_size=3, shuffle=True, drop_last=True)
+    batch = next(iter(dl))
+    assert batch["x"].shape == (3, 196, 66)
+    assert batch["x_mask"].shape == (3, 196)
+    assert batch["c_pc_xyz"].shape == (3, N_POINTS, 3)
+    assert isinstance(batch["c_text"], list) and len(batch["c_text"]) == 3
+    assert len(dl) == len(ds) // 3
+
+
+def test_contact_motion_two_stage_handoff(data_dir, tmp_path):
+    """CMDM test phase must read stage-1 pred_contact files (k, n, j)."""
+    K = 2
+    pred_dir = tmp_path / "eval"
+    (pred_dir / "HUMANISE" / "pred_contact").mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(N_ITEMS):
+        np.save(pred_dir / "HUMANISE" / "pred_contact" / f"{i:05d}.npy",
+                np.abs(rng.normal(size=(K, N_POINTS, 6))).astype(np.float32))
+    ds = create_dataset(contact_motion_cfg(data_dir), "test", contact_folder=str(pred_dir))
+    item = ds[0]
+    assert item["c_pc_contact"].shape == (K, N_POINTS, 6)
+
+
+def test_humanml3d_datasets(data_dir):
+    cfg = DictConfig({
+        "name": "ContactMotionHumanML3DDataset",
+        "data_dir": data_dir,
+        "shuffle_seed": 2023,
+        "data_repr": "h3d",
+        "contact_type": "contact_cont_joints",
+        "contact_joints": [0, 10, 11, 12, 20, 21],
+        "use_raw_dist": False,
+        "sigma": 0.8,
+        "num_points": N_POINTS,
+        "min_horizon": 24,
+        "max_horizon": 196,
+        "mix_train_ratio": 0.0,
+        "train_transforms": ["NumpyToTensor"],
+        "test_transforms": ["NumpyToTensor"],
+        "transform_cfg": {"gravity_dim": 2},
+    })
+    ds = create_dataset(cfg, "train")
+    item = ds[0]
+    assert item["x"].shape == (196, 263)
+    assert item["c_pc_contact"].shape == (N_POINTS, 6)
+    # motion length is cropped to a multiple of 4
+    n_valid = int((~item["x_mask"]).sum())
+    assert n_valid % 4 == 0 and n_valid >= 24
+
+    cfg2 = DictConfig(dict(cfg))
+    cfg2["name"] = "ContactHumanML3DDataset"
+    cfg2["data_repr"] = "contact_cont_joints"
+    cfg2["data_repr_joints"] = [0, 10, 11, 12, 20, 21]
+    ds2 = create_dataset(cfg2, "train")
+    item2 = ds2[0]
+    assert item2["x"].shape == (N_POINTS, 6)
+
+    cfg3 = DictConfig(dict(cfg))
+    cfg3["name"] = "HumanML3DDataset"
+    cfg3["ratio"] = 1.0
+    ds3 = create_dataset(cfg3, "test")
+    item3 = ds3[0]
+    assert item3["x"].shape == (196, 263)
+
+
+def test_transforms_preserve_geometry(data_dir):
+    """Rigid augmentation must preserve pairwise distances (the basis for
+    reusing FPS/kNN indices across augmentations)."""
+    ds = create_dataset(contact_motion_cfg(data_dir), "train")
+    raw = ds[1]
+    xyz = raw["c_pc_xyz"]
+    d_before = np.linalg.norm(xyz[0] - xyz[1])
+    # the transform already ran inside __getitem__; check motion/points moved together
+    m = raw["x"][~raw["x_mask"]]
+    assert np.isfinite(m).all()
+    assert np.isfinite(xyz).all()
+    d_after = np.linalg.norm(xyz[0] - xyz[1])
+    np.testing.assert_allclose(d_before, d_after, rtol=1e-5)
