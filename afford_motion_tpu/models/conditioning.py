@@ -1,0 +1,77 @@
+"""Host- and device-side condition preparation shared by train/test/sample.
+
+Splits the reference's in-forward conditioning (text encode, scene encode,
+geometry) into:
+- host side (strings -> frozen text embeddings, info_* filtering),
+- device side (point hierarchies; built inside jit, once per batch).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.hierarchy import build_point_hierarchy
+from .cdm import CDM
+from .cmdm import CMDM
+from .pointtransformer import SEG_NSAMPLES, SEG_STRIDES
+from .scene_map import SCENEMAP_NSAMPLES, SCENEMAP_STRIDES
+from .text import TextEncoder
+
+ARRAY_COND_KEYS = (
+    "c_pc_xyz", "c_pc_feat", "c_pc_contact",
+    "c_text_mask", "c_text_erase", "c_pc_mask", "c_pc_erase",
+    "x_mask",
+)
+
+
+def host_prepare_cond(
+    batch: Dict[str, Any], text_encoder: TextEncoder
+) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
+    """Strings -> embeddings, drop info_* metadata. Returns (x, cond)."""
+    cond: Dict[str, np.ndarray] = {}
+    cond["text_emb"] = text_encoder.encode(batch["c_text"])[:, None, :]  # (B, 1, D)
+    for key in ARRAY_COND_KEYS:
+        if key in batch and isinstance(batch[key], np.ndarray):
+            v = batch[key]
+            if key in ("c_text_mask", "c_text_erase", "c_pc_mask", "c_pc_erase"):
+                v = v.reshape(v.shape[0], 1)
+            cond[key] = v
+    return batch["x"], cond
+
+
+def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
+    """Attach the point hierarchies the model consumes. Runs under jit —
+    FPS/kNN execute on device, once per batch (and once per sampling
+    chain)."""
+    xyz = cond.get("c_pc_xyz")
+    if xyz is None:
+        return cond
+    cond = dict(cond)
+    if isinstance(model, CMDM):
+        cond["levels_sm"] = build_point_hierarchy(xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES)
+    if isinstance(model, CDM):
+        if model.needs_seg_hierarchy:
+            cond["levels_seg"] = build_point_hierarchy(
+                xyz, SEG_STRIDES, SEG_NSAMPLES, with_up=True
+            )
+        if model.needs_pt_hierarchy:
+            cond["levels_pt"] = build_point_hierarchy(
+                xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES
+            )
+    return cond
+
+
+def encode_conditions(model, variables, cond, *, train: bool = False, mutable=False):
+    """Model-specific expensive condition encoding (hoisted out of the
+    denoising loop). Returns the 'enc' handed to model.denoise."""
+    if isinstance(model, CMDM):
+        return model.apply(
+            variables, cond, train=train, method=CMDM.encode_contact, mutable=mutable
+        )
+    if isinstance(model, CDM):
+        return model.apply(
+            variables, cond, train=train, method=CDM.encode_scene, mutable=mutable
+        )
+    raise NotImplementedError(type(model))

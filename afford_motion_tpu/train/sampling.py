@@ -1,0 +1,49 @@
+"""Jitted end-to-end sampling (reference: test.py:94-101 drives
+diffusion.p_sample_loop per batch from Python; here the whole chain —
+hierarchy build, one-time condition encoding, the full reverse scan — is a
+single compiled program)."""
+from __future__ import annotations
+
+from typing import Any, Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..diffusion import GaussianDiffusion
+from ..models.conditioning import add_hierarchies, encode_conditions
+
+
+def make_sample_fn(
+    model,
+    diffusion: GaussianDiffusion,
+    *,
+    clip_denoised: bool = False,
+    sampler: str = "ddpm",
+    eta: float = 0.0,
+):
+    """Returns sample(variables, shape, cond, rng) -> x0 samples.
+
+    The contact/scene encoder runs ONCE per call; the scan body only runs
+    the denoiser trunk (the reference re-encodes the constant condition at
+    all 500/1000 steps)."""
+
+    denoise_method = type(model).denoise
+
+    def sample(variables, shape: Tuple[int, ...], cond: Dict[str, Any], rng):
+        cond_h = add_hierarchies(model, cond)
+        enc = encode_conditions(model, variables, cond_h, train=False)
+
+        def model_fn(x, t):
+            return model.apply(
+                variables, x, t, cond_h, enc, train=False, method=denoise_method
+            )
+
+        if sampler == "ddim":
+            return diffusion.ddim_sample_loop(
+                model_fn, shape, rng, clip_denoised=clip_denoised, eta=eta
+            )
+        return diffusion.p_sample_loop(
+            model_fn, shape, rng, clip_denoised=clip_denoised
+        )
+
+    return jax.jit(sample, static_argnums=(1,))
