@@ -75,7 +75,25 @@ def _level_geom(
     )
 
 
+import functools
+
+
 def build_point_hierarchy(
+    xyz: jnp.ndarray,
+    strides: Sequence[int],
+    nsamples: Sequence[int],
+    *,
+    with_up: bool = True,
+) -> List[LevelGeometry]:
+    """Jit-compiled wrapper (eager execution of the FPS/kNN cascade would
+    dispatch op-by-op, which is pathological over a remote TPU)."""
+    return list(
+        _build_point_hierarchy(xyz, tuple(strides), tuple(nsamples), with_up=with_up)
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("strides", "nsamples", "with_up"))
+def _build_point_hierarchy(
     xyz: jnp.ndarray,
     strides: Sequence[int],
     nsamples: Sequence[int],

@@ -23,6 +23,16 @@ def create_mesh(devices: Optional[Sequence[jax.Device]] = None, axis: str = DATA
     return Mesh(np.asarray(devices), (axis,))
 
 
+def create_mesh_for_batch(batch_size: int, axis: str = DATA_AXIS) -> Mesh:
+    """Mesh over the largest device prefix that evenly divides the batch
+    (a 2-sample debug batch on an 8-device host uses 2 devices)."""
+    devices = jax.devices()
+    n = len(devices)
+    while n > 1 and batch_size % n != 0:
+        n -= 1
+    return Mesh(np.asarray(devices[:n]), (axis,))
+
+
 def batch_sharding(mesh: Mesh, axis: str = DATA_AXIS) -> NamedSharding:
     """Leading-dim (batch) sharding for input arrays."""
     return NamedSharding(mesh, P(axis))

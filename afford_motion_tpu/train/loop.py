@@ -22,7 +22,7 @@ from ..models.cdm import CDM
 from ..models.cmdm import CMDM
 from ..models.conditioning import add_hierarchies, host_prepare_cond
 from ..models.text import TextEncoder
-from ..parallel.mesh import create_mesh, replicate, shard_batch
+from ..parallel.mesh import create_mesh_for_batch, replicate, shard_batch
 from ..utils.io import Board, get_logger, mkdir_if_not_exists
 from .checkpoint import load_ckpt, save_ckpt
 from .state import TrainState, make_optimizer
@@ -108,7 +108,7 @@ class TrainLoop:
 
         self.exp_dir = exp_dir
         self.ckpt_dir = mkdir_if_not_exists(os.path.join(exp_dir, "ckpt"))
-        self.mesh = create_mesh()
+        self.mesh = create_mesh_for_batch(int(tcfg.batch_size))
         self.rng = jax.random.PRNGKey(seed)
 
         self.state = self._init_state()

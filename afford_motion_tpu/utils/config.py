@@ -201,6 +201,8 @@ def load_config(
     for ov in overrides:
         key, _, value = ov.partition("=")
         key = key.lstrip("+")
+        if key.startswith("hydra"):  # hydra framework flags: accepted, ignored
+            continue
         if key in group_choice or (config_dir / key).is_dir():
             group_choice[key] = value
         else:

@@ -1,0 +1,10 @@
+#!/bin/bash
+# Launch script (ports the reference's scripts/{name}/{kind}.sh; on TPU there
+# is no DDP entry -- `python train.py` scales over the local mesh directly).
+EXP_NAME=$1
+EXP_DIR=$2
+
+python test.py \
+            exp_dir=${EXP_DIR} \
+            exp_name=${EXP_NAME} \
+            task=contact_motion_gen model=cmdm diffusion.steps=500

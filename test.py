@@ -1,0 +1,155 @@
+"""Testing / sampling entry point (reference: test.py:14-172).
+
+Loads the natsort-latest checkpoint, runs the full two-stage sampling
+protocol (k-sample repeats for the MultiModality metric; CMDM slices the
+k-th pre-generated contact), hands results to the task's evaluator, and
+writes metrics.txt/metrics.json. The per-batch sampling chain (hierarchy +
+condition encoding + 500/1000-step reverse scan) is ONE compiled program.
+"""
+import os
+import random
+import sys
+
+import numpy as np
+
+from afford_motion_tpu.data import create_dataset
+from afford_motion_tpu.eval import create_evaluator
+from afford_motion_tpu.models import create_model_and_diffusion, create_text_encoder
+from afford_motion_tpu.models.conditioning import host_prepare_cond
+from afford_motion_tpu.train import latest_ckpt, load_params, make_sample_fn
+from afford_motion_tpu.utils.config import DictConfig, load_config
+from afford_motion_tpu.utils.io import add_file_handler, get_logger, mkdir_if_not_exists, time_str
+from afford_motion_tpu.utils.misc import compute_repr_dimension
+
+logger = get_logger()
+
+
+def _init_variables(model, diffusion, batch, text_encoder):
+    """Build a variables template (for checkpoint restore) from one batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from afford_motion_tpu.models.conditioning import add_hierarchies
+
+    x, cond = host_prepare_cond(batch, text_encoder)
+    if x.ndim == 4:  # CMDM test batches carry (B, k, L, D) contacts? x stays (B, L, D)
+        x = x[:, 0]
+    cond = {k: jnp.asarray(v) for k, v in cond.items()}
+    if "c_pc_contact" in cond and cond["c_pc_contact"].ndim == 4:
+        cond["c_pc_contact"] = cond["c_pc_contact"][:, 0]
+    cond_h = add_hierarchies(model, cond)
+    t = jnp.zeros((x.shape[0],), dtype=jnp.int32)
+    rng = jax.random.PRNGKey(0)
+    x = jnp.asarray(x)
+    # jit the init: eager tracing would execute op-by-op on the device,
+    # which is pathologically slow over a remote TPU tunnel
+    return jax.jit(
+        lambda: model.init({"params": rng, "dropout": rng}, x, t, cond_h, train=False)
+    )()
+
+
+def test(cfg: DictConfig) -> None:
+    import jax
+    import jax.numpy as jnp
+
+    test_dir = os.path.join(cfg.eval_dir, "test-" + time_str())
+    mkdir_if_not_exists(test_dir)
+    add_file_handler(os.path.join(test_dir, "test.log"))
+    logger.info("[Test] ==> Begin testing..")
+
+    test_kwargs = {k: v for k, v in cfg.task.test.items()
+                   if k not in ("batch_size", "num_workers")}
+    test_dataset = create_dataset(cfg.task.dataset, "test", **test_kwargs)
+    logger.info(f"Load test dataset size: {len(test_dataset)}")
+    test_dataloader = test_dataset.get_dataloader(
+        batch_size=cfg.task.test.batch_size,
+        num_workers=cfg.task.test.get("num_workers", 0),
+        shuffle=False,
+        drop_last=True,
+    )
+
+    model, diffusion = create_model_and_diffusion(cfg)
+    te_cfg = cfg.get("text_encoder", DictConfig({}))
+    text_encoder = create_text_encoder(
+        cfg.model.text_model.version,
+        table_path=te_cfg.get("table_path"),
+        weights_dir=te_cfg.get("weights_dir"),
+        max_length=cfg.model.text_model.max_length,
+    )
+
+    ## restore the natsort-latest checkpoint (reference: test.py:47-49);
+    ## checked before the (expensive) model init compile
+    ckpt = latest_ckpt(os.path.join(cfg.exp_dir, "ckpt"))
+    assert ckpt is not None, "No checkpoint found."
+    first_batch = next(iter(test_dataloader))
+    variables = _init_variables(model, diffusion, first_batch, text_encoder)
+    params, batch_stats = load_params(
+        ckpt, variables["params"], variables.get("batch_stats", {})
+    )
+    variables = {"params": params, "batch_stats": batch_stats}
+    logger.info(f"Load checkpoint from {ckpt}")
+
+    evaluator = create_evaluator(cfg.task)
+    sample_fn = make_sample_fn(model, diffusion, clip_denoised=False)
+    rng = jax.random.PRNGKey(cfg.seed)
+
+    B = cfg.task.test.batch_size
+    is_cmdm = str(cfg.model.name).startswith("CMDM")
+    sample_list, k_samples_list = [], []
+    k_samples_idxs = (
+        list(range(evaluator.num_k_samples // B)) if evaluator.k_samples > 0 else []
+    )
+    logger.info(f"k_samples_idxs: {k_samples_idxs}")
+
+    for i, data in enumerate(test_dataloader):
+        use_k_sample = i in k_samples_idxs
+        repeat_times = evaluator.k_samples if use_k_sample else 1
+        logger.info(f"batch {i}, k_sample={use_k_sample}, cases={data['info_index']}")
+
+        x, cond = host_prepare_cond(data, text_encoder)
+        cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        shape = tuple(x.shape)
+
+        per_k = []
+        for k in range(repeat_times):
+            cond_k = dict(cond)
+            if is_cmdm and cond_k["c_pc_contact"].ndim == 4:
+                # the pre-generated contact file holds k samples; take the k-th
+                # (reference: test.py:89-92)
+                cond_k["c_pc_contact"] = cond_k["c_pc_contact"][:, k]
+            rng, sub = jax.random.split(rng)
+            sample = np.asarray(sample_fn(variables, shape, cond_k, sub))
+            per_k.append(sample)
+
+        for bsi in range(shape[0]):
+            res = {"sample": per_k[0][bsi]}
+            for key in data:
+                res[key] = data[key][bsi]
+            sample_list.append(res)
+
+        if use_k_sample:
+            for bsi in range(shape[0]):
+                res = {"k_samples": np.stack([s[bsi] for s in per_k])}
+                for key in data:
+                    res[key] = data[key][bsi]
+                k_samples_list.append(res)
+
+        if i + 1 >= evaluator.eval_nbatch:
+            break
+
+    evaluator.evaluate(sample_list, k_samples_list, test_dir, test_dataloader)
+    evaluator.report(test_dir)
+    logger.info(f"[Test] results in {test_dir}")
+
+
+def main(argv=None) -> None:
+    cfg = load_config("configs", argv if argv is not None else sys.argv[1:])
+    random.seed(cfg.seed)
+    np.random.seed(cfg.seed)
+    cfg.model.input_feats = compute_repr_dimension(cfg.model.data_repr)
+    mkdir_if_not_exists(cfg.eval_dir)
+    test(cfg)
+
+
+if __name__ == "__main__":
+    main()
