@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from flax import struct
 
-from .pointops import farthest_point_sampling, interpolation_weights, knn
+from .pointops import batched_fps, batched_knn, interpolation_weights
 
 
 @struct.dataclass
@@ -46,23 +46,23 @@ def _level_geom(
     nsample: int,
     with_up: bool,
 ) -> LevelGeometry:
-    """Per-sample geometry for one downsampling step ((N, 3) arrays)."""
-    n = parent_xyz.shape[0]
+    """Batched geometry for one downsampling step ((B, N, 3) arrays)."""
+    n = parent_xyz.shape[1]
     if stride == 1:
         xyz = parent_xyz
         fps_idx = None
         down_knn_idx = None
     else:
         m = n // stride
-        fps_idx = farthest_point_sampling(parent_xyz, m)
-        xyz = jnp.take(parent_xyz, fps_idx, axis=0)
-        down_knn_idx, _ = knn(xyz, parent_xyz, nsample)
+        fps_idx = batched_fps(parent_xyz, m)
+        xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
+        down_knn_idx, _ = batched_knn(xyz, parent_xyz, nsample)
 
-    knn_idx, _ = knn(xyz, xyz, nsample)
+    knn_idx, _ = batched_knn(xyz, xyz, nsample)
 
     up_idx = up_weight = None
     if with_up and stride != 1:
-        up_idx, up_dist = knn(parent_xyz, xyz, 3)
+        up_idx, up_dist = batched_knn(parent_xyz, xyz, 3)
         up_weight = interpolation_weights(up_dist)
 
     return LevelGeometry(
@@ -108,14 +108,10 @@ def _build_point_hierarchy(
     (reference: models/modules.py:66, pointtransformer.py:133).
     """
     assert len(strides) == len(nsamples)
-
-    def per_sample(p):
-        levels = []
-        parent = p
-        for stride, nsample in zip(strides, nsamples):
-            geom = _level_geom(parent, stride, nsample, with_up)
-            levels.append(geom)
-            parent = geom.xyz
-        return tuple(levels)
-
-    return list(jax.vmap(per_sample)(xyz))
+    levels = []
+    parent = xyz
+    for stride, nsample in zip(strides, nsamples):
+        geom = _level_geom(parent, stride, nsample, with_up)
+        levels.append(geom)
+        parent = geom.xyz
+    return levels
