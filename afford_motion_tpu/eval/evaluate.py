@@ -218,6 +218,9 @@ class Text2MotionInSceneEvaluator(Eval):
         if "apd" in self.eval_metrics and len(k_samples_list) > 0:
             self.eval_apd(k_samples_list, dataloader)
 
+        if "Rprecison" in self.eval_metrics or "fid" in self.eval_metrics:
+            self.eval_humanml(sample_list, k_samples_list, dataloader)
+
         if self.save_results:
             out = os.path.join(save_dir, "joints")
             os.makedirs(out, exist_ok=True)
@@ -258,6 +261,26 @@ class Text2MotionInSceneEvaluator(Eval):
                     anchor = 0 if str(sample["c_text"]).startswith("stand up") else -1
                     d = dist_to_obj(obj, jnp.asarray(verts[anchor]), faces)
                     self.metrics["dist"].append(float(d))
+
+    def eval_humanml(self, sample_list, k_samples_list, dataloader):
+        """In-repo HumanML3D metrics through the frozen text-motion-match
+        evaluator (reference: evaluate.py:388-407). Gated on the evaluator
+        checkpoint/meta existing on disk."""
+        try:
+            from .eval_humanml import eval_humanml
+
+            all_metrics = eval_humanml(sample_list, k_samples_list, dataloader)
+        except FileNotFoundError as e:
+            logger.warning(f"HumanML metrics skipped (missing asset: {e})")
+            return
+        for metric_name, metric_dict in all_metrics.items():
+            for model_name, values in metric_dict.items():
+                mean = np.mean(values, axis=0)
+                if isinstance(mean, np.ndarray):
+                    mean = mean.tolist()
+                elif isinstance(mean, (np.floating, np.integer)):
+                    mean = float(mean)
+                self.metrics["H3D+" + metric_name + "_" + model_name] = mean
 
     def eval_apd(self, k_samples_list, dataloader):
         """(reference: evaluate.py:373-386)."""

@@ -1,0 +1,88 @@
+"""Frozen text-motion-match evaluator wrapper
+(reference: utils/eval/evaluator_wrapper.py:177-287).
+
+Wraps the JAX T2M encoders with the reference's co-embedding protocol:
+length-sorted batches, movement encoding at unit_length=4, text encoding
+over padded token sequences. Two configurations:
+- 'ours': dim_pose=66 (the in-repo retrained evaluator for pos-repr sets)
+- 'mdm' : dim_pose=263, motion input strips the last 4 channels (the
+  original T2M/MDM evaluator convention)
+"""
+from __future__ import annotations
+
+import functools
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .t2m_models import load_t2m_checkpoint, motion_encoder, movement_encoder, text_encoder
+from .word_vectorizer import POS_enumerator
+
+OURS_OPT = {
+    "dim_word": 300,
+    "max_motion_length": 196,
+    "dim_pos_ohot": len(POS_enumerator),
+    "dim_motion_hidden": 1024,
+    "max_text_len": 20,
+    "dim_text_hidden": 512,
+    "dim_coemb_hidden": 512,
+    "dim_pose": 66,
+    "dim_movement_enc_hidden": 512,
+    "dim_movement_latent": 512,
+    "unit_length": 4,
+    "strip_last4": False,
+}
+
+MDM_OPT = dict(OURS_OPT, dim_pose=263, strip_last4=True)
+
+
+class EvaluatorWrapper:
+    """(reference: evaluator_wrapper.py:220-287)."""
+
+    def __init__(self, ckpt_path: str, variant: str = "ours"):
+        self.opt = dict(OURS_OPT if variant == "ours" else MDM_OPT)
+        self.params = load_t2m_checkpoint(ckpt_path)
+        self._co = jax.jit(self._co_embeddings)
+        self._mo = jax.jit(self._motion_embedding)
+
+    # ---------------------------------------------------------------- kernels
+    def _motion_embedding(self, motions, m_lens):
+        if self.opt["strip_last4"]:
+            motions = motions[..., :-4]
+        movements = movement_encoder(self.params["movement_encoder"], motions)
+        return motion_encoder(
+            self.params["motion_encoder"], movements, m_lens // self.opt["unit_length"]
+        )
+
+    def _co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens):
+        motion_emb = self._motion_embedding(motions, m_lens)
+        text_emb = text_encoder(
+            self.params["text_encoder"], word_embs, pos_ohot, cap_lens
+        )
+        return text_emb, motion_emb
+
+    # ------------------------------------------------------------------- API
+    def get_co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens):
+        """Length-desc-sorted protocol; text output re-aligned to the sorted
+        motion order, matching the reference's semantics
+        (evaluator_wrapper.py:254-273: both outputs follow align_idx)."""
+        align_idx = np.argsort(np.asarray(m_lens))[::-1].copy()
+        motions = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
+        m_lens_s = jnp.asarray(np.asarray(m_lens)[align_idx])
+        text_emb, motion_emb = self._co(
+            jnp.asarray(word_embs, dtype=jnp.float32),
+            jnp.asarray(pos_ohot, dtype=jnp.float32),
+            jnp.asarray(cap_lens),
+            motions,
+            m_lens_s,
+        )
+        text_emb = np.asarray(text_emb)[align_idx]
+        return np.asarray(text_emb), np.asarray(motion_emb)
+
+    def get_motion_embeddings(self, motions, m_lens):
+        align_idx = np.argsort(np.asarray(m_lens))[::-1].copy()
+        motions = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
+        m_lens_s = jnp.asarray(np.asarray(m_lens)[align_idx])
+        return np.asarray(self._mo(motions, m_lens_s))

@@ -1,0 +1,211 @@
+"""Eval-stack tests: T2M encoder parity vs torch (the checkpoint-layout
+oracle), metric formula sanity, motion-representation invariants, physics
+SDF sign behavior."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from afford_motion_tpu.eval.metrics import (
+    calculate_activation_statistics,
+    calculate_frechet_distance,
+    calculate_R_precision,
+    calculate_top_k,
+    euclidean_distance_matrix,
+)
+from afford_motion_tpu.eval.motion_repr import qinv, qrot, recover_from_ric
+from afford_motion_tpu.eval.physics import (
+    dist_to_obj,
+    physics_over_sequence,
+    signed_distance_to_body,
+)
+from afford_motion_tpu.eval.t2m_models import (
+    motion_encoder,
+    movement_encoder,
+    text_encoder,
+)
+
+
+# ------------------------------------------------------------- T2M parity
+def _torch_state(module):
+    return {k: v.detach().numpy().astype(np.float32) for k, v in module.state_dict().items()}
+
+
+def test_movement_encoder_matches_torch():
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class TorchMove(nn.Module):
+        def __init__(self, inp, hid, out):
+            super().__init__()
+            self.main = nn.Sequential(
+                nn.Conv1d(inp, hid, 4, 2, 1), nn.Dropout(0.2), nn.LeakyReLU(0.2),
+                nn.Conv1d(hid, out, 4, 2, 1), nn.Dropout(0.2), nn.LeakyReLU(0.2),
+            )
+            self.out_net = nn.Linear(out, out)
+
+        def forward(self, x):
+            return self.out_net(self.main(x.permute(0, 2, 1)).permute(0, 2, 1))
+
+    m = TorchMove(62, 32, 16).eval()
+    x = np.random.default_rng(0).normal(size=(3, 32, 62)).astype(np.float32)
+    with torch.no_grad():
+        want = m(torch.from_numpy(x)).numpy()
+    got = np.asarray(movement_encoder(_torch_state(m), jnp.asarray(x)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_bigru_motion_encoder_matches_torch():
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils.rnn import pack_padded_sequence
+
+    torch.manual_seed(1)
+    H, D, OUT = 24, 16, 12
+
+    class TorchMotion(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_emb = nn.Linear(D, H)
+            self.gru = nn.GRU(H, H, batch_first=True, bidirectional=True)
+            self.output_net = nn.Sequential(
+                nn.Linear(H * 2, H), nn.LayerNorm(H), nn.LeakyReLU(0.2), nn.Linear(H, OUT)
+            )
+            self.hidden = nn.Parameter(torch.randn(2, 1, H))
+
+        def forward(self, x, lens):
+            h = self.input_emb(x)
+            hidden = self.hidden.repeat(1, x.shape[0], 1)
+            emb = pack_padded_sequence(h, lens.tolist(), batch_first=True)
+            _, last = self.gru(emb, hidden)
+            last = torch.cat([last[0], last[1]], dim=-1)
+            return self.output_net(last)
+
+    m = TorchMotion().eval()
+    rng = np.random.default_rng(1)
+    B, L = 4, 20
+    x = rng.normal(size=(B, L, D)).astype(np.float32)
+    lens = np.array([20, 15, 9, 4])  # must be sorted desc for pack_padded
+    with torch.no_grad():
+        want = m(torch.from_numpy(x), torch.from_numpy(lens)).numpy()
+    got = np.asarray(motion_encoder(_torch_state(m), jnp.asarray(x), jnp.asarray(lens)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+def test_bigru_text_encoder_matches_torch():
+    import torch
+    import torch.nn as nn
+    from torch.nn.utils.rnn import pack_padded_sequence
+
+    torch.manual_seed(2)
+    W, P, H, OUT = 30, 15, 20, 10
+
+    class TorchText(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pos_emb = nn.Linear(P, W)
+            self.input_emb = nn.Linear(W, H)
+            self.gru = nn.GRU(H, H, batch_first=True, bidirectional=True)
+            self.output_net = nn.Sequential(
+                nn.Linear(H * 2, H), nn.LayerNorm(H), nn.LeakyReLU(0.2), nn.Linear(H, OUT)
+            )
+            self.hidden = nn.Parameter(torch.randn(2, 1, H))
+
+        def forward(self, w, p, lens):
+            h = self.input_emb(w + self.pos_emb(p))
+            hidden = self.hidden.repeat(1, w.shape[0], 1)
+            emb = pack_padded_sequence(h, lens.tolist(), batch_first=True)
+            _, last = self.gru(emb, hidden)
+            last = torch.cat([last[0], last[1]], dim=-1)
+            return self.output_net(last)
+
+    m = TorchText().eval()
+    rng = np.random.default_rng(2)
+    B, T = 3, 12
+    w = rng.normal(size=(B, T, W)).astype(np.float32)
+    p = rng.normal(size=(B, T, P)).astype(np.float32)
+    lens = np.array([12, 8, 5])
+    with torch.no_grad():
+        want = m(torch.from_numpy(w), torch.from_numpy(p), torch.from_numpy(lens)).numpy()
+    got = np.asarray(text_encoder(_torch_state(m), jnp.asarray(w), jnp.asarray(p), jnp.asarray(lens)))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=1e-5)
+
+
+# ---------------------------------------------------------------- metrics
+def test_fid_zero_for_identical_and_positive_for_shifted():
+    rng = np.random.default_rng(3)
+    a = rng.normal(size=(256, 8))
+    mu, cov = calculate_activation_statistics(a)
+    assert abs(calculate_frechet_distance(mu, cov, mu, cov)) < 1e-8
+    mu2, cov2 = calculate_activation_statistics(a + 3.0)
+    assert calculate_frechet_distance(mu, cov, mu2, cov2) > 1.0
+
+
+def test_r_precision_perfect_match():
+    rng = np.random.default_rng(4)
+    emb = rng.normal(size=(32, 16))
+    top_k = calculate_R_precision(emb, emb, top_k=3, sum_all=True)
+    assert top_k[0] == 32 and top_k[2] == 32
+
+
+def test_top_k_cumulative():
+    sorted_idx = np.array([[0, 5, 2], [3, 1, 0], [9, 8, 2]])
+    out = calculate_top_k(sorted_idx, 3)
+    np.testing.assert_array_equal(out[0], [True, True, True])
+    np.testing.assert_array_equal(out[1], [False, True, True])
+    np.testing.assert_array_equal(out[2], [False, False, True])
+
+
+# ------------------------------------------------------------ motion repr
+def test_qrot_identity_and_inverse():
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=(10, 3))
+    qid = np.zeros((10, 4)); qid[:, 0] = 1.0
+    np.testing.assert_allclose(qrot(qid, v), v, atol=1e-12)
+    ang = rng.uniform(0, np.pi, 10)
+    q = np.zeros((10, 4)); q[:, 0] = np.cos(ang); q[:, 2] = np.sin(ang)
+    np.testing.assert_allclose(qrot(qinv(q), qrot(q, v)), v, atol=1e-10)
+
+
+def test_recover_from_ric_straight_walk():
+    """Zero rotation velocity, constant +x velocity: the root must advance
+    linearly in x at constant height."""
+    L, J = 8, 22
+    data = np.zeros((L, 263), dtype=np.float32)
+    data[:, 1] = 0.1  # x velocity
+    data[:, 3] = 0.9  # root height
+    joints = recover_from_ric(data, J)
+    assert joints.shape == (L, J, 3)
+    np.testing.assert_allclose(joints[:, 0, 1], 0.9, atol=1e-6)
+    np.testing.assert_allclose(joints[1:, 0, 0] - joints[:-1, 0, 0], 0.1, atol=1e-6)
+
+
+# ---------------------------------------------------------------- physics
+def test_signed_distance_sign_convention():
+    """Points inside a closed cube get positive sdf, outside negative
+    (the vertex-normal sign trick needs a reasonably dense closed mesh;
+    the real use is the 10475-vertex SMPL-X body)."""
+    # unit cube, 8 verts, 12 outward-wound triangles
+    verts = jnp.asarray(
+        [[x, y, z] for x in (0, 1) for y in (0, 1) for z in (0, 1)], dtype=jnp.float32
+    )
+    faces = jnp.asarray([
+        [0, 1, 3], [0, 3, 2],   # x=0 face
+        [4, 6, 7], [4, 7, 5],   # x=1
+        [0, 4, 5], [0, 5, 1],   # y=0
+        [2, 3, 7], [2, 7, 6],   # y=1
+        [0, 2, 6], [0, 6, 4],   # z=0
+        [1, 5, 7], [1, 7, 3],   # z=1
+    ], dtype=jnp.int32)
+    pts = jnp.asarray([[0.5, 0.5, 0.5], [0.5, 0.5, 3.0]], dtype=jnp.float32)
+    sdf = np.asarray(signed_distance_to_body(pts, verts, faces))
+    assert sdf[0] > 0 and sdf[1] < 0
+
+    ncs, cts = physics_over_sequence(pts, verts[None], faces)
+    assert ncs.shape == (1,) and cts.shape == (1,)
+    assert 0.0 <= float(ncs[0]) <= 1.0
+
+    d = float(dist_to_obj(pts[1:2], verts, faces))
+    assert d <= 0.0
