@@ -1,44 +1,164 @@
-"""Joints -> SMPL-X parameter projection (reference: utils/joints_to_smplx.py:46-130).
+"""Joints -> SMPL-X parameter projection + refinement
+(reference: utils/joints_to_smplx.py:46-130, utils/misc.py:78-143).
 
 A 2-layer transformer regressor maps 22x3 joint sequences to 69-d SMPL-X
-parameters, followed by per-sequence Adam refinement against the joints
-(reference: utils/misc.py:78-125). Requires (a) the trained fitting weights
-and (b) an SMPL-X body model on disk — both external assets. This module
-loads them when present; eval code gates on construction succeeding.
+parameters; an Adam refinement then minimizes the masked joint MSE (+ an
+acceleration-smoothness term over the last 40% of steps). Unlike the
+reference's per-sequence Python Adam loop, refinement here is one jitted
+``lax.fori_loop`` over the padded batch.
 
-The refinement loop runs as optax-Adam inside jit over padded sequences
-(the reference runs a Python Adam loop per variable-length sequence).
+The regressor weights come from the reference's torch checkpoint
+(utils/joints_to_smplx/060.pt) via ``convert_torch_regressor``; the body
+model is the JAX SMPL-X LBS (smplx_lbs.py).
 """
 from __future__ import annotations
 
+import functools
 from pathlib import Path
-from typing import Tuple
+from typing import Any, Dict, Optional
 
+import jax
+import jax.numpy as jnp
 import numpy as np
+import optax
+from flax import linen as nn
 
+from ..models.layers import PositionalEncoding, TransformerEncoder
 from ..utils.io import get_logger
+from .smplx_lbs import SMPLXModel, params_to_verts_joints, smplx_forward
 
 logger = get_logger()
 
+NJOINTS = 22
+PARAM_DIM = 3 + NJOINTS * 3  # 69
+
+
+class JointsToSMPLXRegressor(nn.Module):
+    """(reference: utils/joints_to_smplx.py:46-98)."""
+
+    latent_dim: int = 256
+    num_heads: int = 4
+    ff_size: int = 512
+    num_layers: int = 2
+    dropout: float = 0.1
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, x_mask=None, *, train: bool = False) -> jnp.ndarray:
+        h = nn.Dense(self.latent_dim // 2)(x)
+        h = nn.relu(h)
+        h = nn.Dense(self.latent_dim)(h)
+        h = nn.relu(h)
+        h = PositionalEncoding(self.latent_dim, dropout=self.dropout, max_len=1000)(
+            h, train=train
+        )
+        h = TransformerEncoder(
+            num_layers=self.num_layers, d_model=self.latent_dim,
+            num_heads=self.num_heads, dim_feedforward=self.ff_size,
+            dropout=self.dropout, activation=nn.relu,
+        )(h, x_mask, train=train)
+        return nn.Dense(PARAM_DIM)(h)
+
+
+def convert_torch_regressor(path: str) -> Dict[str, Any]:
+    """torch state dict (060.pt) -> flax params for JointsToSMPLXRegressor."""
+    import torch
+
+    sd = {k: v.detach().numpy().astype(np.float32)
+          for k, v in torch.load(path, map_location="cpu", weights_only=False).items()}
+
+    def dense(w, b):
+        return {"kernel": w.T, "bias": b}
+
+    params: Dict[str, Any] = {
+        "Dense_0": dense(sd["input_layer.0.weight"], sd["input_layer.0.bias"]),
+        "Dense_1": dense(sd["input_layer.2.weight"], sd["input_layer.2.bias"]),
+        "Dense_2": dense(sd["output_layer.weight"], sd["output_layer.bias"]),
+    }
+    enc: Dict[str, Any] = {}
+    n_layers = len({k.split(".")[2] for k in sd if k.startswith("TransEncoder.layers.")})
+    for i in range(n_layers):
+        p = f"TransEncoder.layers.{i}"
+        d = sd[f"{p}.self_attn.in_proj_weight"].shape[1]
+        in_w = sd[f"{p}.self_attn.in_proj_weight"]
+        in_b = sd[f"{p}.self_attn.in_proj_bias"]
+        qw, kw, vw = in_w[:d], in_w[d:2 * d], in_w[2 * d:]
+        qb, kb, vb = in_b[:d], in_b[d:2 * d], in_b[2 * d:]
+        enc[f"TransformerEncoderLayer_{i}"] = {
+            "TorchMultiHeadAttention_0": {
+                "Dense_0": dense(qw, qb),
+                "Dense_1": dense(kw, kb),
+                "Dense_2": dense(vw, vb),
+                "Dense_3": dense(sd[f"{p}.self_attn.out_proj.weight"],
+                                 sd[f"{p}.self_attn.out_proj.bias"]),
+            },
+            "Dense_0": dense(sd[f"{p}.linear1.weight"], sd[f"{p}.linear1.bias"]),
+            "Dense_1": dense(sd[f"{p}.linear2.weight"], sd[f"{p}.linear2.bias"]),
+            "LayerNorm_0": {"scale": sd[f"{p}.norm1.weight"], "bias": sd[f"{p}.norm1.bias"]},
+            "LayerNorm_1": {"scale": sd[f"{p}.norm2.weight"], "bias": sd[f"{p}.norm2.bias"]},
+        }
+    params["TransformerEncoder_0"] = enc
+    return params
+
+
+def make_refine_fn(model: SMPLXModel, lr: float, steps: int):
+    """Jitted Adam refinement of 69-d params against target joints
+    (reference: utils/misc.py:78-125: joints MSE; + 0.1x acceleration
+    penalty once step >= 0.6*steps). Masked frames contribute nothing."""
+
+    smooth_start = int(0.6 * steps)
+
+    @jax.jit
+    def refine(init_params, joints, x_mask):
+        # init_params (B, L, 69), joints (B, L, 66), x_mask (B, L) True=pad
+        valid = (~x_mask).astype(jnp.float32)[..., None]
+        tx = optax.adam(lr)
+
+        def loss_fn(params, use_smooth):
+            B, L, _ = params.shape
+            flat = params.reshape(B * L, PARAM_DIM)
+            _, j = params_to_verts_joints(model, flat)
+            j = j.reshape(B, L, NJOINTS * 3)
+            # masked mean over (valid frames, joints, 3) — the reference's
+            # torch.mean over the unpadded sequence (utils/misc.py:133)
+            jl = jnp.sum(((j - joints) ** 2) * valid) / jnp.maximum(
+                jnp.sum(valid) * (NJOINTS * 3), 1.0
+            )
+            # acceleration smoothness over params
+            vel = params[:, 1:] - params[:, :-1]
+            acc = vel[:, 1:] - vel[:, :-1]
+            acc_valid = valid[:, 2:] * valid[:, 1:-1] * valid[:, :-2]
+            sl = jnp.sum((acc ** 2) * acc_valid) / jnp.maximum(jnp.sum(acc_valid) * PARAM_DIM, 1.0)
+            return jl + use_smooth * 0.1 * sl
+
+        def body(i, state):
+            params, opt_state = state
+            use_smooth = (i >= smooth_start).astype(jnp.float32)
+            grads = jax.grad(loss_fn)(params, use_smooth)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return optax.apply_updates(params, updates), opt_state
+
+        params, _ = jax.lax.fori_loop(0, steps, body, (init_params, tx.init(init_params)))
+        return params
+
+    return refine
+
 
 class JointsToSMPLXFitter:
-    """Facade used by Text2MotionInSceneEvaluator.
-
-    Raises at construction when assets are missing so callers can degrade
-    gracefully. Full JAX SMPL-X LBS + fitting lands with the body-model
-    module (see afford_motion_tpu/eval/smplx_lbs.py when available)."""
+    """Facade used by Text2MotionInSceneEvaluator
+    (reference: utils/evaluate.py:254-279). Raises at construction when the
+    regressor weights or SMPL-X model are missing so callers degrade."""
 
     def __init__(self, weights_path: str, opt_rate: float = 0.02, opt_steps: int = 200):
         if not weights_path or not Path(weights_path).exists():
             raise FileNotFoundError(f"JointsToSMPLX weights not found: {weights_path}")
-        from .smplx_lbs import SMPLXModel  # requires body-model npz on disk
-
         self.body_model = SMPLXModel.load_default()
+        self.regressor = JointsToSMPLXRegressor()
+        self.params = {"params": convert_torch_regressor(weights_path)}
         self.opt_rate = opt_rate
         self.opt_steps = opt_steps
-        raise NotImplementedError(
-            "JointsToSMPLX fitting network loading is not wired up yet; "
-            "physics metrics are skipped this round"
+        self._refine = make_refine_fn(self.body_model, opt_rate, opt_steps)
+        self._predict = jax.jit(
+            lambda p, x, m: self.regressor.apply(p, x, m, train=False)
         )
 
     @property
@@ -46,7 +166,20 @@ class JointsToSMPLXFitter:
         return self.body_model.faces
 
     def fit(self, joints: np.ndarray, x_mask: np.ndarray) -> np.ndarray:
-        raise NotImplementedError
+        """(B, L, 66) + (B, L) -> refined params (B, L, 69)."""
+        joints = jnp.asarray(joints, dtype=jnp.float32)
+        x_mask = jnp.asarray(x_mask)
+        pred = self._predict(self.params, joints, x_mask)
+        return np.asarray(self._refine(pred, joints, x_mask))
 
     def to_vertices(self, joints: np.ndarray, x_mask: np.ndarray) -> np.ndarray:
-        raise NotImplementedError
+        """(B, L, 66) -> list-like (B, l_valid?, V, 3); returns the padded
+        (B, L, V, 3) array — callers mask with x_mask."""
+        params = self.fit(joints, x_mask)
+        B, L, _ = params.shape
+        verts, _ = params_to_verts_joints(
+            self.body_model, jnp.asarray(params.reshape(B * L, PARAM_DIM))
+        )
+        verts = np.asarray(verts).reshape(B, L, -1, 3)
+        # trim to valid frames for the first sequence-style usage
+        return [verts[b][~np.asarray(x_mask[b])] for b in range(B)]
