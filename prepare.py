@@ -1,0 +1,118 @@
+"""Data preparation CLI (reference: prepare/process.py + the per-stage
+scripts; see prepare/README.md pipeline in the reference).
+
+Stages:
+    python prepare.py process --dataset HumanML3D --data_dir <amass_smplx>
+    python prepare.py smplx_to_vec --dataset HUMANISE
+    python prepare.py process_scene
+    python prepare.py contact_data --dataset HUMANISE
+    python prepare.py split
+    python prepare.py target_mask
+"""
+import argparse
+import glob
+import os
+import pickle
+
+import numpy as np
+
+from afford_motion_tpu.prepare.raw_datasets import create_extractor
+from afford_motion_tpu.utils.io import get_logger
+from afford_motion_tpu.utils.misc import natsorted
+
+logger = get_logger()
+
+
+def cmd_process(args) -> None:
+    create_extractor(args.dataset, args.data_dir).process()
+
+
+def cmd_smplx_to_vec(args) -> None:
+    from afford_motion_tpu.eval.smplx_lbs import SMPLXModel
+    from afford_motion_tpu.prepare.smplx_to_vec import smplx_to_vec
+
+    model = SMPLXModel.load_default()
+    motion_dir = os.path.join(args.out_dir, args.dataset, "motions")
+    save_dir = os.path.join(args.out_dir, args.dataset, "motions_pos")
+    for pkl in natsorted(glob.glob(os.path.join(motion_dir, "*.pkl"))):
+        with open(pkl, "rb") as f:
+            smplx = pickle.load(f)
+        name = os.path.basename(pkl).replace(".pkl", ".npy")
+        smplx_to_vec(smplx, args.dataset, os.path.join(save_dir, name), model)
+    logger.info(f"wrote joint vectors to {save_dir}")
+
+
+def cmd_process_scene(args) -> None:
+    from afford_motion_tpu.prepare.process_scene import process_all
+
+    process_all(args.out_dir)
+
+
+def cmd_contact_data(args) -> None:
+    """Pair motions_pos with scene points and build contact_motion/
+    (reference: generate_contact_data.py load_* + process)."""
+    from afford_motion_tpu.prepare.contact_data import process
+
+    base = os.path.join(args.out_dir, args.dataset)
+    import pandas as pd
+
+    anno = pd.read_csv(os.path.join(base, "annotations.csv"))
+    scene_data = {}
+    motions = []
+    for i, path in enumerate(natsorted(glob.glob(os.path.join(base, "motions_pos", "*.npy")))):
+        pose_seq = np.load(path)
+        idx = int(os.path.basename(path).split(".")[0])
+        scene_id = anno.loc[idx]["scene_id"]
+        if scene_id not in scene_data:
+            scene_data[scene_id] = {
+                "pcd": np.load(os.path.join(base, "points", f"{scene_id}.npy"))
+            }
+        trans = np.eye(4, dtype=np.float32)
+        trans[0:3, -1] = [anno.loc[idx][f"scene_trans_{a}"] for a in "xyz"]
+        texts = [anno.loc[idx].get("text", "")]
+        motions.append((pose_seq, texts, (scene_id, trans), {}))
+    process(
+        motions, scene_data, os.path.join(base, "contact_motion"),
+        num_points=args.num_points, region_size=args.region_size,
+        rng=np.random.default_rng(args.seed),
+    )
+    logger.info(f"wrote contact_motion data for {args.dataset}")
+
+
+def cmd_split(args) -> None:
+    from afford_motion_tpu.prepare.split import split_all
+
+    split_all(args.out_dir)
+
+
+def cmd_target_mask(args) -> None:
+    from afford_motion_tpu.prepare.target_object_mask import generate_target_object_masks
+
+    generate_target_object_masks(args.out_dir)
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("stage", choices=[
+        "process", "smplx_to_vec", "process_scene", "contact_data", "split",
+        "target_mask",
+    ])
+    parser.add_argument("--dataset", type=str, default="HumanML3D")
+    parser.add_argument("--data_dir", type=str, default="./data/raw")
+    parser.add_argument("--out_dir", type=str, default="./data")
+    parser.add_argument("--num_points", type=int, default=8192)
+    parser.add_argument("--region_size", type=float, default=4.0)
+    parser.add_argument("--seed", type=int, default=0)
+    args = parser.parse_args()
+    {
+        "process": cmd_process,
+        "smplx_to_vec": cmd_smplx_to_vec,
+        "process_scene": cmd_process_scene,
+        "contact_data": cmd_contact_data,
+        "split": cmd_split,
+        "target_mask": cmd_target_mask,
+    }[args.stage](args)
+
+
+if __name__ == "__main__":
+    main()
