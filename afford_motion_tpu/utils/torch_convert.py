@@ -1,0 +1,342 @@
+"""Torch checkpoint -> flax parameter converters.
+
+Lets the reference's trained artifacts carry over without retraining
+(SURVEY.md §5 checkpoint/resume parity):
+- the frozen PointTransformer scene weights (POINTTRANS_C_N8192_E300/
+  model.pth, reference: pointtransformer.py:203-213),
+- CMDM / CDM training checkpoints (model{step:06d}.pt),
+- (T2M evaluator + JointsToSMPLX converters live in eval/.)
+
+All converters are pure key-mapping over numpy arrays; structural
+compatibility is asserted against a freshly initialized flax tree.
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ------------------------------------------------------------ leaf helpers
+def _dense(sd: Dict, prefix: str, bias: bool = True) -> Dict:
+    out = {"kernel": sd[f"{prefix}.weight"].T}
+    if bias and f"{prefix}.bias" in sd:
+        out["bias"] = sd[f"{prefix}.bias"]
+    return out
+
+
+def _layernorm(sd: Dict, prefix: str) -> Dict:
+    return {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}
+
+
+def _bn_params(sd: Dict, prefix: str) -> Dict:
+    return {"BatchNorm_0": {"scale": sd[f"{prefix}.weight"], "bias": sd[f"{prefix}.bias"]}}
+
+
+def _bn_stats(sd: Dict, prefix: str) -> Dict:
+    return {"BatchNorm_0": {
+        "mean": sd[f"{prefix}.running_mean"], "var": sd[f"{prefix}.running_var"]
+    }}
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    import torch
+
+    sd = torch.load(path, map_location="cpu", weights_only=False)
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    out = {}
+    for k, v in sd.items():
+        k = k[len("module."):] if k.startswith("module.") else k  # DDP prefix
+        out[k] = v.detach().numpy().astype(np.float32) if hasattr(v, "detach") else np.asarray(v)
+    return out
+
+
+# --------------------------------------------------- point transformer mapping
+def _pt_layer(sd: Dict, p: str) -> Tuple[Dict, Dict]:
+    """PointTransformerLayer: torch linear_{q,k,v}, linear_p (Linear,BN,_,
+    Linear), linear_w (BN,_,Linear,BN,_,Linear) -> flax Dense_0..6 +
+    PointNorm_0..2 (reference: pointtransformer.py:16-23)."""
+    params = {
+        "Dense_0": _dense(sd, f"{p}.linear_q"),
+        "Dense_1": _dense(sd, f"{p}.linear_k"),
+        "Dense_2": _dense(sd, f"{p}.linear_v"),
+        "Dense_3": _dense(sd, f"{p}.linear_p.0"),
+        "PointNorm_0": _bn_params(sd, f"{p}.linear_p.1"),
+        "Dense_4": _dense(sd, f"{p}.linear_p.3"),
+        "PointNorm_1": _bn_params(sd, f"{p}.linear_w.0"),
+        "Dense_5": _dense(sd, f"{p}.linear_w.2"),
+        "PointNorm_2": _bn_params(sd, f"{p}.linear_w.3"),
+        "Dense_6": _dense(sd, f"{p}.linear_w.5"),
+    }
+    stats = {
+        "PointNorm_0": _bn_stats(sd, f"{p}.linear_p.1"),
+        "PointNorm_1": _bn_stats(sd, f"{p}.linear_w.0"),
+        "PointNorm_2": _bn_stats(sd, f"{p}.linear_w.3"),
+    }
+    return params, stats
+
+
+def _pt_block(sd: Dict, p: str) -> Tuple[Dict, Dict]:
+    """(reference: pointtransformer.py:102-123)."""
+    lp, ls = _pt_layer(sd, f"{p}.transformer2")
+    params = {
+        "Dense_0": _dense(sd, f"{p}.linear1", bias=False),
+        "PointNorm_0": _bn_params(sd, f"{p}.bn1"),
+        "PointTransformerLayer_0": lp,
+        "PointNorm_1": _bn_params(sd, f"{p}.bn2"),
+        "Dense_1": _dense(sd, f"{p}.linear3", bias=False),
+        "PointNorm_2": _bn_params(sd, f"{p}.bn3"),
+    }
+    stats = {
+        "PointNorm_0": _bn_stats(sd, f"{p}.bn1"),
+        "PointTransformerLayer_0": ls,
+        "PointNorm_1": _bn_stats(sd, f"{p}.bn2"),
+        "PointNorm_2": _bn_stats(sd, f"{p}.bn3"),
+    }
+    return params, stats
+
+
+def _transition_down(sd: Dict, p: str) -> Tuple[Dict, Dict]:
+    params = {"Dense_0": _dense(sd, f"{p}.linear", bias=False),
+              "PointNorm_0": _bn_params(sd, f"{p}.bn")}
+    stats = {"PointNorm_0": _bn_stats(sd, f"{p}.bn")}
+    return params, stats
+
+
+def _transition_up(sd: Dict, p: str, is_head: bool) -> Tuple[Dict, Dict]:
+    """Head: Dense_0 = linear2.0, Dense_1 = linear1.0, PointNorm_0 =
+    linear1.1; non-head: Dense_0 = linear1.0, PointNorm_0 = linear1.1,
+    Dense_1 = linear2.0, PointNorm_1 = linear2.1
+    (reference: pointtransformer.py:72-99)."""
+    if is_head:
+        params = {
+            "Dense_0": _dense(sd, f"{p}.linear2.0"),
+            "Dense_1": _dense(sd, f"{p}.linear1.0"),
+            "PointNorm_0": _bn_params(sd, f"{p}.linear1.1"),
+        }
+        stats = {"PointNorm_0": _bn_stats(sd, f"{p}.linear1.1")}
+    else:
+        params = {
+            "Dense_0": _dense(sd, f"{p}.linear1.0"),
+            "PointNorm_0": _bn_params(sd, f"{p}.linear1.1"),
+            "Dense_1": _dense(sd, f"{p}.linear2.0"),
+            "PointNorm_1": _bn_params(sd, f"{p}.linear2.1"),
+        }
+        stats = {
+            "PointNorm_0": _bn_stats(sd, f"{p}.linear1.1"),
+            "PointNorm_1": _bn_stats(sd, f"{p}.linear2.1"),
+        }
+    return params, stats
+
+
+def convert_point_encoder(sd: Dict, blocks: Sequence[int], torch_prefix: str = "") -> Tuple[Dict, Dict]:
+    """torch enc{k}.{j} -> flax PointEncoderStage_{k-1} tree."""
+    params, stats = {}, {}
+    for k, nblocks in enumerate(blocks, start=1):
+        sp, ss = {}, {}
+        td_p, td_s = _transition_down(sd, f"{torch_prefix}enc{k}.0")
+        sp["TransitionDown_0"], ss["TransitionDown_0"] = td_p, td_s
+        for j in range(1, nblocks):
+            bp, bs = _pt_block(sd, f"{torch_prefix}enc{k}.{j}")
+            sp[f"PointTransformerBlock_{j-1}"] = bp
+            ss[f"PointTransformerBlock_{j-1}"] = bs
+        params[f"PointEncoderStage_{k-1}"] = sp
+        stats[f"PointEncoderStage_{k-1}"] = ss
+    return params, stats
+
+
+def convert_point_decoder(sd: Dict, n_levels: int, torch_prefix: str = "") -> Tuple[Dict, Dict]:
+    """torch dec{k}.{0,1} -> flax PointDecoderStage_{n_levels-k} (stage 0 is
+    the head at the coarsest level)."""
+    params, stats = {}, {}
+    for k in range(n_levels, 0, -1):
+        stage = n_levels - k
+        is_head = stage == 0
+        tu_p, tu_s = _transition_up(sd, f"{torch_prefix}dec{k}.0", is_head)
+        bp, bs = _pt_block(sd, f"{torch_prefix}dec{k}.1")
+        params[f"PointDecoderStage_{stage}"] = {
+            "TransitionUp_0": tu_p, "PointTransformerBlock_0": bp,
+        }
+        stats[f"PointDecoderStage_{stage}"] = {
+            "TransitionUp_0": tu_s, "PointTransformerBlock_0": bs,
+        }
+    return params, stats
+
+
+def convert_pointtransformer_seg(path_or_sd, blocks: Sequence[int] = (2, 3, 4, 6, 3)):
+    """POINTTRANS_C_N8192_E300/model.pth -> flax PointTransformerSeg
+    variables {'params', 'batch_stats'} (reference loader filters enc/dec
+    keys, pointtransformer.py:203-213)."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_state_dict(path_or_sd)
+    enc_p, enc_s = convert_point_encoder(sd, blocks)
+    dec_p, dec_s = convert_point_decoder(sd, len(blocks))
+    return {
+        "params": {"enc": enc_p, "dec": dec_p},
+        "batch_stats": {"enc": enc_s, "dec": dec_s},
+    }
+
+
+def convert_scenemap_encoder(sd: Dict, blocks: Sequence[int] = (2, 2, 2, 2),
+                             torch_prefix: str = "", with_decoder: bool = False):
+    """SceneMapEncoder(Decoder) inside CMDM checkpoints."""
+    enc_p, enc_s = convert_point_encoder(sd, blocks, torch_prefix)
+    params: Dict[str, Any] = {"enc": enc_p}
+    stats: Dict[str, Any] = {"enc": enc_s}
+    if with_decoder:
+        dec_p, dec_s = convert_point_decoder(sd, len(blocks), torch_prefix)
+        params["dec"], stats["dec"] = dec_p, dec_s
+    return params, stats
+
+
+# ------------------------------------------------------- transformer mapping
+def _torch_mha(sd: Dict, p: str) -> Dict:
+    """torch nn.MultiheadAttention packed qkv -> TorchMultiHeadAttention."""
+    w = sd[f"{p}.in_proj_weight"]
+    b = sd[f"{p}.in_proj_bias"]
+    d = w.shape[1]
+    return {
+        "Dense_0": {"kernel": w[:d].T, "bias": b[:d]},
+        "Dense_1": {"kernel": w[d:2 * d].T, "bias": b[d:2 * d]},
+        "Dense_2": {"kernel": w[2 * d:].T, "bias": b[2 * d:]},
+        "Dense_3": _dense(sd, f"{p}.out_proj"),
+    }
+
+
+def convert_torch_encoder_layer(sd: Dict, p: str) -> Dict:
+    """torch nn.TransformerEncoderLayer -> flax TransformerEncoderLayer."""
+    return {
+        "TorchMultiHeadAttention_0": _torch_mha(sd, f"{p}.self_attn"),
+        "LayerNorm_0": _layernorm(sd, f"{p}.norm1"),
+        "Dense_0": _dense(sd, f"{p}.linear1"),
+        "Dense_1": _dense(sd, f"{p}.linear2"),
+        "LayerNorm_1": _layernorm(sd, f"{p}.norm2"),
+    }
+
+
+def convert_torch_encoder(sd: Dict, p: str, num_layers: int) -> Dict:
+    return {
+        f"TransformerEncoderLayer_{i}": convert_torch_encoder_layer(sd, f"{p}.layers.{i}")
+        for i in range(num_layers)
+    }
+
+
+# ----------------------------------------------------------------- CMDM
+def convert_cmdm_checkpoint(path_or_sd, *, num_layers: Sequence[int] = (1, 1, 1, 1, 1),
+                            blocks: Sequence[int] = (2, 2, 2, 2), arch: str = "trans_enc"):
+    """Reference CMDM model{step}.pt -> flax CMDM variables. Frozen CLIP/BERT
+    weights are absent from the reference checkpoint (stripped at save,
+    training.py:92-106) and not needed (text is pre-encoded here)."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_state_dict(path_or_sd)
+    assert arch == "trans_enc", "trans_dec conversion TODO"
+    sm_p, sm_s = convert_scenemap_encoder(sd, blocks, "contact_encoder.", with_decoder=False)
+    params = {
+        "timestep_embedder": {
+            "Dense_0": _dense(sd, "timestep_embedder.time_embed.0"),
+            "Dense_1": _dense(sd, "timestep_embedder.time_embed.2"),
+        },
+        "contact_encoder": sm_p,
+        "contact_adapter": _dense(sd, "contact_adapter"),
+        "language_adapter": _dense(sd, "language_adapter"),
+        "motion_adapter": _dense(sd, "motion_adapter"),
+        "self_attn_layer": convert_torch_encoder(sd, "self_attn_layer", sum(num_layers)),
+        "motion_layer": _dense(sd, "motion_layer"),
+    }
+    return {"params": params, "batch_stats": {"contact_encoder": sm_s}}
+
+
+# ------------------------------------------------------------------ CDM
+def _perceiver_cross_layer(sd: Dict, p: str) -> Dict:
+    """krasserm CrossAttentionLayer: Sequential(Residual(CrossAttention),
+    Residual(MLP)) -> flax CrossAttentionLayer (LayerNorm_0/1 + PerceiverMHA_0
+    + PerceiverMLP_0)."""
+    return {
+        "LayerNorm_0": _layernorm(sd, f"{p}.0.module.q_norm"),
+        "LayerNorm_1": _layernorm(sd, f"{p}.0.module.kv_norm"),
+        "PerceiverMHA_0": {
+            "Dense_0": _dense(sd, f"{p}.0.module.attention.q_proj"),
+            "Dense_1": _dense(sd, f"{p}.0.module.attention.k_proj"),
+            "Dense_2": _dense(sd, f"{p}.0.module.attention.v_proj"),
+            "Dense_3": _dense(sd, f"{p}.0.module.attention.o_proj"),
+        },
+        "PerceiverMLP_0": {
+            "LayerNorm_0": _layernorm(sd, f"{p}.1.module.0"),
+            "Dense_0": _dense(sd, f"{p}.1.module.1"),
+            "Dense_1": _dense(sd, f"{p}.1.module.3"),
+        },
+    }
+
+
+def _perceiver_self_layer(sd: Dict, p: str) -> Dict:
+    return {
+        "LayerNorm_0": _layernorm(sd, f"{p}.0.module.norm"),
+        "PerceiverMHA_0": {
+            "Dense_0": _dense(sd, f"{p}.0.module.attention.q_proj"),
+            "Dense_1": _dense(sd, f"{p}.0.module.attention.k_proj"),
+            "Dense_2": _dense(sd, f"{p}.0.module.attention.v_proj"),
+            "Dense_3": _dense(sd, f"{p}.0.module.attention.o_proj"),
+        },
+        "PerceiverMLP_0": {
+            "LayerNorm_0": _layernorm(sd, f"{p}.1.module.0"),
+            "Dense_0": _dense(sd, f"{p}.1.module.1"),
+            "Dense_1": _dense(sd, f"{p}.1.module.3"),
+        },
+    }
+
+
+def convert_cdm_checkpoint(path_or_sd, *, self_attn_layers: int = 2,
+                           arch: str = "Perceiver"):
+    """Reference CDM model{step}.pt (Perceiver arch) -> flax CDM variables.
+    Frozen CLIP + scene-model weights are stripped from the reference
+    checkpoint; the published t2m config uses use_scene_model=False."""
+    sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_state_dict(path_or_sd)
+    assert arch == "Perceiver", "MLP/PointTrans conversion TODO"
+    cm = "contact_model"
+    contact_model = {
+        "Dense_0": _dense(sd, f"{cm}.encoder_adapter"),
+        "Dense_1": _dense(sd, f"{cm}.language_adapter"),
+        "Dense_2": _dense(sd, f"{cm}.time_embedding_adapter"),
+        "CrossAttentionLayer_0": _perceiver_cross_layer(sd, f"{cm}.encoder_cross_attn"),
+        "SelfAttentionBlock_0": {
+            f"SelfAttentionLayer_{i}": _perceiver_self_layer(sd, f"{cm}.encoder_self_attn.{i}")
+            for i in range(self_attn_layers)
+        },
+        "Dense_3": _dense(sd, f"{cm}.decoder_adapter"),
+        "CrossAttentionLayer_1": _perceiver_cross_layer(sd, f"{cm}.decoder_cross_attn"),
+    }
+    params = {
+        "timestep_embedder": {
+            "Dense_0": _dense(sd, "timestep_embedder.time_embed.0"),
+            "Dense_1": _dense(sd, "timestep_embedder.time_embed.2"),
+        },
+        "contact_model": contact_model,
+        "contact_layer": _dense(sd, "contact_layer"),
+    }
+    return {"params": params, "batch_stats": {}}
+
+
+# ------------------------------------------------------------- validation
+def assert_tree_compatible(converted: Any, reference: Any, path: str = "") -> None:
+    """Every leaf in `reference` must exist in `converted` with equal shape."""
+    import jax
+
+    ref_flat = jax.tree_util.tree_leaves_with_path(reference)
+    conv = converted
+
+    def get(tree, keypath):
+        node = tree
+        for k in keypath:
+            key = getattr(k, "key", None)
+            node = node[key]
+        return node
+
+    for keypath, leaf in ref_flat:
+        try:
+            c = get(conv, keypath)
+        except (KeyError, TypeError) as e:
+            raise KeyError(f"missing converted leaf at {jax.tree_util.keystr(keypath)}") from e
+        if tuple(np.shape(c)) != tuple(np.shape(leaf)):
+            raise ValueError(
+                f"shape mismatch at {jax.tree_util.keystr(keypath)}: "
+                f"{np.shape(c)} vs {np.shape(leaf)}"
+            )
