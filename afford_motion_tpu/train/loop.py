@@ -30,14 +30,25 @@ from .state import TrainState, make_optimizer
 logger = get_logger()
 
 
-def make_train_step(model, diffusion: GaussianDiffusion):
+def make_train_step(model, diffusion: GaussianDiffusion, sampler=None):
     """Build the single jitted training step. Donates the state so the
-    optimizer update is in-place in HBM."""
+    optimizer update is in-place in HBM.
 
-    def train_step(state: TrainState, x, cond, rng) -> Tuple[TrainState, Dict]:
+    ``sampler``: optional LossSecondMomentResampler for importance-sampled
+    timesteps (reference: diffusion/resample.py:130-160); when given, the
+    step signature grows a sampler_state operand and returns its update.
+    Default (None) is the uniform sampler every shipped config uses."""
+
+    use_importance = sampler is not None
+
+    def train_step(state: TrainState, x, cond, rng, sampler_state=None):
         rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
         B = x.shape[0]
-        t = jax.random.randint(rng_t, (B,), 0, diffusion.num_timesteps)
+        if use_importance:
+            t, weights = sampler.sample(rng_t, B, sampler_state)
+        else:
+            t = jax.random.randint(rng_t, (B,), 0, diffusion.num_timesteps)
+            weights = jnp.ones((B,), dtype=jnp.float32)
         cond_h = add_hierarchies(model, cond)
         x_mask = cond_h.get("x_mask")
 
@@ -57,7 +68,7 @@ def make_train_step(model, diffusion: GaussianDiffusion):
             terms = diffusion.training_losses(
                 model_fn, x, t, rng_noise, x_mask=x_mask
             )
-            return terms["loss"].mean(), (terms, captured.get("batch_stats"))
+            return (terms["loss"] * weights).mean(), (terms, captured.get("batch_stats"))
 
         (loss, (terms, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
             state.params
@@ -70,6 +81,9 @@ def make_train_step(model, diffusion: GaussianDiffusion):
                 sum(jnp.sum(g * g) for g in jax.tree_util.tree_leaves(grads))
             ),
         }
+        if use_importance:
+            new_sampler_state = sampler.update(sampler_state, t, terms["loss"])
+            return new_state, metrics, new_sampler_state
         return new_state, metrics
 
     return jax.jit(train_step, donate_argnums=(0,))
@@ -112,7 +126,16 @@ class TrainLoop:
         self.rng = jax.random.PRNGKey(seed)
 
         self.state = self._init_state()
-        self.train_step = make_train_step(model, diffusion)
+        sampler_type = str(tcfg.get("schedule_sampler_type", "uniform"))
+        if sampler_type in ("loss-second-moment", "loss_second_moment"):
+            from ..diffusion import LossSecondMomentResampler
+
+            self._sampler = LossSecondMomentResampler(diffusion.num_timesteps)
+            self._sampler_state = self._sampler.init_state()
+        else:
+            self._sampler = None
+            self._sampler_state = None
+        self.train_step = make_train_step(model, diffusion, sampler=self._sampler)
 
     # ------------------------------------------------------------------ init
     def _example_inputs(self):
@@ -164,7 +187,12 @@ class TrainLoop:
                     {k: jnp.asarray(v) for k, v in cond.items()}, self.mesh
                 )
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, metrics = self.train_step(self.state, x, cond, step_rng)
+                if self._sampler is not None:
+                    self.state, metrics, self._sampler_state = self.train_step(
+                        self.state, x, cond, step_rng, self._sampler_state
+                    )
+                else:
+                    self.state, metrics = self.train_step(self.state, x, cond, step_rng)
                 step += 1
                 steps_done_window += 1
 

@@ -1,0 +1,144 @@
+"""Offline MDM-protocol HumanML3D evaluation
+(reference: h3d_eval/eval_h3d_offline.py:22-79).
+
+The reference runs this inside the external MDM repo; here the whole
+protocol runs natively against the JAX MDM-variant evaluator (263-d pose,
+strip-last-4 movement input). Protocol constants are the reference's:
+batch MUST be 32 (R-precision pools), eval modes debug/wo_mm/mm_short with
+num_samples_limit=1000, diversity_times=300, mm_num_times=10.
+
+Usage:
+    python -m h3d_eval.eval_h3d_offline \
+        --results_dir outputs/<exp>/eval/test-<ts>/humanml \
+        --eval_mode wo_mm --data_dir ./data --eval_meta_dir ./data/eval \
+        --ckpt ./data/eval/t2m_evaluator/finest.tar
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+from collections import OrderedDict
+
+import numpy as np
+
+from afford_motion_tpu.eval.eval_humanml import (
+    _batches,
+    evaluate_fid,
+    evaluate_matching_score,
+    evaluate_multimodality_metric,
+)
+from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+from afford_motion_tpu.eval.metrics import calculate_diversity
+from afford_motion_tpu.eval.word_vectorizer import create_word_vectorizer
+from afford_motion_tpu.utils.io import get_logger
+
+from .eval_h3d_dataset_offline import (
+    H3DEvalDataset,
+    H3DGTEvalDataset,
+    MMH3DEvalDataset,
+)
+
+logger = get_logger()
+
+EVAL_MODES = {
+    # reference: eval_h3d_offline.py:37-62
+    "debug": dict(num_samples_limit=1000, run_mm=False, mm_num_samples=0,
+                  mm_num_times=0, diversity_times=300, replication_times=1),
+    "wo_mm": dict(num_samples_limit=1000, run_mm=False, mm_num_samples=0,
+                  mm_num_times=0, diversity_times=300, replication_times=1),
+    "mm_short": dict(num_samples_limit=1000, run_mm=True, mm_num_samples=100,
+                     mm_num_times=10, diversity_times=300, replication_times=1),
+}
+
+
+def run_evaluation(results_dir: str, *, data_dir: str = "./data",
+                   eval_meta_dir: str = "./data/eval",
+                   ckpt: str = "./data/eval/t2m_evaluator/finest.tar",
+                   eval_mode: str = "wo_mm", batch_size: int = 32,
+                   mm_results_dir: str | None = None):
+    mode = EVAL_MODES[eval_mode]
+    wrapper = EvaluatorWrapper(ckpt, variant="mdm")
+    w_vectorizer = create_word_vectorizer(os.path.join(eval_meta_dir, "glove"))
+    ms = np.load(os.path.join(eval_meta_dir, "meta", "t2m_mean_std.npz"))
+    mean, std = ms["mean"], ms["std"]
+
+    all_metrics = OrderedDict(
+        (k, OrderedDict()) for k in
+        ("Matching Score", "R_precision", "FID", "Diversity", "MultiModality")
+    )
+    for rep in range(mode["replication_times"]):
+        gt = H3DGTEvalDataset(data_dir, mean, std, w_vectorizer)
+        gen = H3DEvalDataset(results_dir, mean, std, w_vectorizer,
+                             mode["num_samples_limit"])
+        loaders = OrderedDict()
+        loaders["ground truth"] = _batches(gt, batch_size)
+        loaders["vald"] = _batches(gen, batch_size)
+
+        match, rprec, acts = evaluate_matching_score(wrapper, loaders)
+        fid = evaluate_fid(wrapper, _batches(gt, batch_size), acts)
+        div = OrderedDict(
+            (name, calculate_diversity(emb, min(mode["diversity_times"], emb.shape[0] - 1)))
+            for name, emb in acts.items()
+        )
+        mm = 0.0
+        if mode["run_mm"]:
+            mm_ds = MMH3DEvalDataset(mm_results_dir or results_dir, w_vectorizer,
+                                     mode["mm_num_samples"])
+            mm = evaluate_multimodality_metric(
+                wrapper, [mm_ds[i] for i in range(len(mm_ds))], mode["mm_num_times"]
+            )
+
+        for store, values in (
+            (all_metrics["Matching Score"], match),
+            (all_metrics["R_precision"], rprec),
+            (all_metrics["FID"], fid),
+            (all_metrics["Diversity"], div),
+        ):
+            for k, v in values.items():
+                store.setdefault(k, []).append(v)
+        all_metrics["MultiModality"].setdefault("vald", []).append(mm)
+        logger.info(f"replication {rep}: FID={fid}")
+    return all_metrics
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--results_dir", required=True)
+    parser.add_argument("--mm_results_dir", default=None)
+    parser.add_argument("--eval_mode", default="wo_mm", choices=list(EVAL_MODES))
+    parser.add_argument("--data_dir", default="./data")
+    parser.add_argument("--eval_meta_dir", default="./data/eval")
+    parser.add_argument("--ckpt", default="./data/eval/t2m_evaluator/finest.tar")
+    parser.add_argument("--batch_size", type=int, default=32,
+                        help="must stay 32 for the R-precision pools")
+    args = parser.parse_args()
+
+    metrics = run_evaluation(
+        args.results_dir, data_dir=args.data_dir, eval_meta_dir=args.eval_meta_dir,
+        ckpt=args.ckpt, eval_mode=args.eval_mode, batch_size=args.batch_size,
+        mm_results_dir=args.mm_results_dir,
+    )
+    out = os.path.join(args.results_dir, f"eval_humanml_{args.eval_mode}.json")
+
+    def clean(v):
+        if isinstance(v, np.ndarray):
+            return v.tolist()
+        if isinstance(v, (np.floating, np.integer)):
+            return v.item()
+        if isinstance(v, list):
+            return [clean(x) for x in v]
+        if isinstance(v, dict):
+            return {k: clean(x) for k, x in v.items()}
+        return v
+
+    with open(out, "w") as f:
+        json.dump(clean(metrics), f, indent=2)
+    logger.info(f"wrote {out}")
+    for metric, d in metrics.items():
+        for model, vals in d.items():
+            logger.info(f"{metric} [{model}]: mean={np.mean(np.asarray(vals, dtype=object).tolist(), axis=0)}")
+
+
+if __name__ == "__main__":
+    main()
