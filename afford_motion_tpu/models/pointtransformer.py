@@ -65,8 +65,12 @@ class PointTransformerLayer(nn.Module):
         B, N, K = knn_idx.shape
 
         x_q = nn.Dense(C)(x)
-        x_k = bgather(nn.Dense(C)(x), knn_idx)              # (B, N, K, C)
-        x_v = bgather(nn.Dense(C)(x), knn_idx)              # (B, N, K, C)
+        # k and v share neighbour indices: project jointly and gather ONCE
+        # (halves the dominant HBM gather traffic vs separate k/v gathers)
+        kv = bgather(
+            jnp.concatenate([nn.Dense(C)(x), nn.Dense(C)(x)], axis=-1), knn_idx
+        )                                                    # (B, N, K, 2C)
+        x_k, x_v = kv[..., :C], kv[..., C:]
         rel = bgather(p, knn_idx) - p[:, :, None, :]        # (B, N, K, 3)
 
         # positional MLP: Dense(3) -> BN -> ReLU -> Dense(C)
