@@ -21,11 +21,17 @@ def collate_fn_general(batch: List[Dict]) -> Dict[str, Any]:
     out: Dict[str, Any] = {}
     for key in batch[0]:
         vals = [d[key] for d in batch]
-        if isinstance(vals[0], np.ndarray):
+        stackable = (
+            all(isinstance(v, np.ndarray) for v in vals)
+            and len({v.shape for v in vals}) == 1
+        )
+        if stackable:
             out[key] = np.stack(vals)
-        elif isinstance(vals[0], (bool, np.bool_)):
+        elif all(isinstance(v, (bool, np.bool_)) for v in vals):
             out[key] = np.asarray(vals)
         else:
+            # ragged / mixed (e.g. info_obj_mask is an array for HUMANISE
+            # and None elsewhere): pass through as a list
             out[key] = vals
     return out
 

@@ -155,6 +155,7 @@ class TrainLoop:
         )()
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
+        params, batch_stats = self._maybe_load_pretrained_scene(params, batch_stats)
         n_params = sum(p.size for p in jax.tree_util.tree_leaves(params))
         logger.info(f"Model initialized: {n_params / 1e6:.2f}M params")
 
@@ -167,6 +168,30 @@ class TrainLoop:
             state = load_ckpt(state, self.resume_ckpt)
             logger.info(f"Resumed from {self.resume_ckpt} at step {int(state.step)}")
         return replicate(state, self.mesh)
+
+    def _maybe_load_pretrained_scene(self, params, batch_stats):
+        """Graft the converted frozen PointTransformer scene weights into a
+        CDM's params (reference: models/functions.py:96-126 +
+        pointtransformer.py:203-213 load the torch .pth at construction)."""
+        mcfg = getattr(self.cfg, "model", {})
+        scfg = mcfg.get("scene_model", {}) if hasattr(mcfg, "get") else {}
+        weight = str(scfg.get("pretrained_weight", "") or "")
+        if "scene_model" not in params or not weight or not os.path.exists(weight):
+            if "scene_model" in params:
+                logger.warning(
+                    f"pretrained scene weights not found at {weight!r}; "
+                    "the frozen scene model keeps its random init"
+                )
+            return params, batch_stats
+        from ..utils.torch_convert import convert_pointtransformer_seg
+
+        converted = convert_pointtransformer_seg(weight)
+        params = dict(params)
+        params["scene_model"] = converted["params"]
+        batch_stats = dict(batch_stats)
+        batch_stats["scene_model"] = converted["batch_stats"]
+        logger.info(f"Loaded pretrained scene model from {weight}")
+        return params, batch_stats
 
     # ------------------------------------------------------------------ loop
     def run_loop(self) -> None:
