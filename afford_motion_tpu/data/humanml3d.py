@@ -140,6 +140,18 @@ class _H3DBase(BaseDataset):
             # seed offset matches the reference's (shuffle_seed - 2023)
             random.Random(self.shuffle_seed - 2023).shuffle(self.indices)
 
+    def _load_geometry(self, data: Dict, base_name: str) -> None:
+        """Precomputed rigid-invariant FPS/kNN geometry (prepare.py
+        geometry stage), H3D path scheme."""
+        if not self.cfg.get("use_geometry_cache", True):
+            return
+        for kind in ("sm", "seg"):
+            f = os.path.join(self.data_dir, "H3D", f"geometry_{kind}", f"{base_name}.npz")
+            if os.path.exists(f):
+                npz = np.load(f)
+                for k in npz.files:
+                    data[k] = npz[k]
+
     def _pick_caption(self, text_list: List[Dict]) -> Dict:
         if self.phase == "test":
             return text_list[0]  # fixed description for reproducible eval
@@ -318,6 +330,7 @@ class ContactHumanML3DDataset(_H3DBase):
             "info_index": base,
             "info_caption_index": text["caption_idx"],
         }
+        self._load_geometry(data, base)
         return self.transform(data)
 
 
@@ -395,4 +408,5 @@ class ContactMotionHumanML3DDataset(_H3DBase):
             "info_index": base,
             "info_caption_index": text["caption_idx"],
         }
+        self._load_geometry(data, base)
         return self.transform(data)

@@ -111,6 +111,21 @@ class _MotionXBase(BaseDataset):
             feat = np.concatenate([feat, color], axis=-1)
         return feat
 
+    def _load_geometry(self, data: Dict, s: str, i: int) -> None:
+        """Attach precomputed rigid-invariant FPS/kNN geometry when the
+        offline cache exists (prepare.py geometry stage). Skips the in-step
+        hierarchy build on device."""
+        if not self.cfg.get("use_geometry_cache", True):
+            return
+        for kind in ("sm", "seg"):
+            f = os.path.join(
+                self.data_dir, s, "contact_motion", f"geometry_{kind}", f"{i:05d}.npz"
+            )
+            if os.path.exists(f):
+                npz = np.load(f)
+                for k in npz.files:
+                    data[k] = npz[k]
+
     def _obj_mask(self, data: Dict, s: str, i: int) -> None:
         if self.phase == "test":
             if s == "HUMANISE":
@@ -172,6 +187,7 @@ class MotionXDataset(_MotionXBase):
             "info_scene_mesh": self._scene_mesh_path(s, scene_id),
         }
         self._obj_mask(data, s, i)
+        self._load_geometry(data, s, i)
         data = self.transform(data)
         data["x"] = self.normalize(data["x"]).astype(np.float32)
         return data
@@ -243,6 +259,7 @@ class ContactMapDataset(_MotionXBase):
             "info_scene_mesh": self._scene_mesh_path(s, scene_id),
         }
         self._obj_mask(data, s, i)
+        self._load_geometry(data, s, i)
         data = self.transform(data)
         data["x"] = self.normalize(data["x"]).astype(np.float32)
         return data
@@ -341,6 +358,7 @@ class ContactMotionDataset(_MotionXBase):
             "info_scene_mesh": self._scene_mesh_path(s, scene_id),
         }
         self._obj_mask(data, s, i)
+        self._load_geometry(data, s, i)
         data = self.transform(data)
         data["x"] = self.normalize(data["x"]).astype(np.float32)
         return data

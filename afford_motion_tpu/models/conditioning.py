@@ -12,7 +12,7 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hierarchy import build_point_hierarchy
+from ..ops.hierarchy import build_point_hierarchy, geometry_from_arrays
 from .cdm import CDM
 from .cmdm import CMDM
 from .pointtransformer import SEG_NSAMPLES, SEG_STRIDES
@@ -38,6 +38,10 @@ def host_prepare_cond(
             if key in ("c_text_mask", "c_text_erase", "c_pc_mask", "c_pc_erase"):
                 v = v.reshape(v.shape[0], 1)
             cond[key] = v
+    # precomputed rigid-invariant geometry (dataset geometry cache)
+    for key, v in batch.items():
+        if key.startswith("geo_") and isinstance(v, np.ndarray):
+            cond[key] = v
     return batch["x"], cond
 
 
@@ -49,17 +53,26 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
     if xyz is None:
         return cond
     cond = dict(cond)
+
+    def sm_levels():
+        if "geo_sm0_knn_idx" in cond:
+            return geometry_from_arrays(cond, xyz, len(SCENEMAP_STRIDES), prefix="geo_sm")
+        return build_point_hierarchy(xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES)
+
     if isinstance(model, CMDM):
-        cond["levels_sm"] = build_point_hierarchy(xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES)
+        cond["levels_sm"] = sm_levels()
     if isinstance(model, CDM):
         if model.needs_seg_hierarchy:
-            cond["levels_seg"] = build_point_hierarchy(
-                xyz, SEG_STRIDES, SEG_NSAMPLES, with_up=True
-            )
+            if "geo_seg0_knn_idx" in cond:
+                cond["levels_seg"] = geometry_from_arrays(
+                    cond, xyz, len(SEG_STRIDES), prefix="geo_seg"
+                )
+            else:
+                cond["levels_seg"] = build_point_hierarchy(
+                    xyz, SEG_STRIDES, SEG_NSAMPLES, with_up=True
+                )
         if model.needs_pt_hierarchy:
-            cond["levels_pt"] = build_point_hierarchy(
-                xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES
-            )
+            cond["levels_pt"] = sm_levels()
     return cond
 
 

@@ -115,3 +115,55 @@ def _build_point_hierarchy(
         levels.append(geom)
         parent = geom.xyz
     return levels
+
+
+# ------------------------------------------------- rigid-invariant caching
+# Every index/weight field of the hierarchy depends only on pairwise
+# distances, so it is INVARIANT to the rigid augmentations the datasets
+# apply (RandomRotation / recentering). The geometry can therefore be
+# precomputed once per sample offline (prepare.py geometry stage) and fed
+# through the batch, skipping the in-step FPS/kNN entirely; only the xyz
+# fields are re-gathered from the augmented cloud.
+
+_GEO_FIELDS = ("knn_idx", "fps_idx", "down_knn_idx", "up_idx", "up_weight")
+
+
+def geometry_to_arrays(levels: List[LevelGeometry], prefix: str = "geo") -> dict:
+    """Flatten a (single-sample or batched) hierarchy's index/weight fields
+    into a {name: array} dict for npz storage / batch transport."""
+    out = {}
+    for li, lvl in enumerate(levels):
+        for field in _GEO_FIELDS:
+            v = getattr(lvl, field)
+            if v is not None:
+                out[f"{prefix}{li}_{field}"] = v
+    return out
+
+
+def geometry_from_arrays(
+    arrays: dict, xyz: jnp.ndarray, num_levels: int, prefix: str = "geo"
+) -> List[LevelGeometry]:
+    """Rebuild LevelGeometry from cached index arrays + the (augmented)
+    level-0 coordinates: per-level xyz is re-gathered through the cached
+    FPS chains."""
+    levels = []
+    parent_xyz = xyz
+    for li in range(num_levels):
+        def get(field):
+            return arrays.get(f"{prefix}{li}_{field}")
+
+        fps_idx = get("fps_idx")
+        lvl_xyz = (
+            parent_xyz if fps_idx is None
+            else jnp.take_along_axis(parent_xyz, fps_idx[..., None].astype(jnp.int32), axis=1)
+        )
+        levels.append(LevelGeometry(
+            xyz=lvl_xyz,
+            knn_idx=get("knn_idx").astype(jnp.int32),
+            fps_idx=None if fps_idx is None else fps_idx.astype(jnp.int32),
+            down_knn_idx=None if get("down_knn_idx") is None else get("down_knn_idx").astype(jnp.int32),
+            up_idx=None if get("up_idx") is None else get("up_idx").astype(jnp.int32),
+            up_weight=get("up_weight"),
+        ))
+        parent_xyz = lvl_xyz
+    return levels

@@ -23,6 +23,9 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 8192))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
+# 1 = feed the precomputed rigid-invariant geometry cache (the production
+# data path: prepare.py geometry); 0 = build FPS/kNN in-step.
+GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 1))
 
 
 def main() -> None:
@@ -59,6 +62,10 @@ def main() -> None:
     }
 
     cond_h = add_hierarchies(model, cond)
+    if GEO_CACHE:
+        from afford_motion_tpu.ops.hierarchy import geometry_to_arrays
+
+        cond.update(geometry_to_arrays(cond_h["levels_sm"], prefix="geo_sm"))
     t0 = jnp.zeros((B,), dtype=jnp.int32)
     variables = jax.jit(
         lambda: model.init(

@@ -79,6 +79,49 @@ def cmd_contact_data(args) -> None:
     logger.info(f"wrote contact_motion data for {args.dataset}")
 
 
+def cmd_geometry(args) -> None:
+    """Precompute per-sample rigid-invariant FPS/kNN geometry on the
+    accelerator (TPU-native replacement for per-step hierarchy builds).
+    --kind sm (4-level SceneMap/PointTrans) or seg (5-level PT-Seg)."""
+    import jax.numpy as jnp
+
+    from afford_motion_tpu.models.pointtransformer import (
+        SEG_NSAMPLES, SEG_STRIDES,
+    )
+    from afford_motion_tpu.models.scene_map import SCENEMAP_NSAMPLES, SCENEMAP_STRIDES
+    from afford_motion_tpu.ops.hierarchy import build_point_hierarchy, geometry_to_arrays
+
+    strides, nsamples = (
+        (SCENEMAP_STRIDES, SCENEMAP_NSAMPLES) if args.kind == "sm"
+        else (SEG_STRIDES, SEG_NSAMPLES)
+    )
+    base = os.path.join(args.out_dir, args.dataset)
+    if args.dataset == "H3D":
+        contact_files = natsorted(glob.glob(os.path.join(args.out_dir, "H3D", "contacts", "*.npz")))
+        out_dir = os.path.join(args.out_dir, "H3D", f"geometry_{args.kind}")
+        name_of = lambda f: os.path.basename(f).replace(".npz", "")
+    else:
+        contact_files = natsorted(
+            glob.glob(os.path.join(base, "contact_motion", "contacts", "*.npz"))
+        )
+        out_dir = os.path.join(base, "contact_motion", f"geometry_{args.kind}")
+        name_of = lambda f: os.path.basename(f).replace(".npz", "")
+    os.makedirs(out_dir, exist_ok=True)
+
+    B = args.batch_size
+    for start in range(0, len(contact_files), B):
+        chunk = contact_files[start: start + B]
+        xyz = np.stack([np.load(f)["points"][:, :3].astype(np.float32) for f in chunk])
+        levels = build_point_hierarchy(jnp.asarray(xyz), strides, nsamples)
+        arrays = {k: np.asarray(v) for k, v in
+                  geometry_to_arrays(levels, prefix=f"geo_{args.kind}").items()}
+        for b, f in enumerate(chunk):
+            np.savez(os.path.join(out_dir, f"{name_of(f)}.npz"),
+                     **{k: v[b] for k, v in arrays.items()})
+        logger.info(f"geometry {start + len(chunk)}/{len(contact_files)}")
+    logger.info(f"wrote geometry cache to {out_dir}")
+
+
 def cmd_split(args) -> None:
     from afford_motion_tpu.prepare.split import split_all
 
@@ -94,8 +137,8 @@ def cmd_target_mask(args) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", choices=[
-        "process", "smplx_to_vec", "process_scene", "contact_data", "split",
-        "target_mask",
+        "process", "smplx_to_vec", "process_scene", "contact_data", "geometry",
+        "split", "target_mask",
     ])
     parser.add_argument("--dataset", type=str, default="HumanML3D")
     parser.add_argument("--data_dir", type=str, default="./data/raw")
@@ -103,12 +146,15 @@ def main() -> None:
     parser.add_argument("--num_points", type=int, default=8192)
     parser.add_argument("--region_size", type=float, default=4.0)
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--kind", type=str, default="sm", choices=["sm", "seg"])
+    parser.add_argument("--batch_size", type=int, default=32)
     args = parser.parse_args()
     {
         "process": cmd_process,
         "smplx_to_vec": cmd_smplx_to_vec,
         "process_scene": cmd_process_scene,
         "contact_data": cmd_contact_data,
+        "geometry": cmd_geometry,
         "split": cmd_split,
         "target_mask": cmd_target_mask,
     }[args.stage](args)
