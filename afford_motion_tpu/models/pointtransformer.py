@@ -65,13 +65,14 @@ class PointTransformerLayer(nn.Module):
         B, N, K = knn_idx.shape
 
         x_q = nn.Dense(C)(x)
-        # k and v share neighbour indices: project jointly and gather ONCE
-        # (halves the dominant HBM gather traffic vs separate k/v gathers)
-        kv = bgather(
-            jnp.concatenate([nn.Dense(C)(x), nn.Dense(C)(x)], axis=-1), knn_idx
-        )                                                    # (B, N, K, 2C)
-        x_k, x_v = kv[..., :C], kv[..., C:]
-        rel = bgather(p, knn_idx) - p[:, :, None, :]        # (B, N, K, 3)
+        # xyz, k and v share neighbour indices. TPU row-gathers are
+        # per-row-overhead bound (a 3-channel gather costs as much as a
+        # 64-channel one), so everything is packed into ONE gather.
+        packed = bgather(
+            jnp.concatenate([p, nn.Dense(C)(x), nn.Dense(C)(x)], axis=-1), knn_idx
+        )                                                    # (B, N, K, 3+2C)
+        rel = packed[..., :3] - p[:, :, None, :]             # (B, N, K, 3)
+        x_k, x_v = packed[..., 3: 3 + C], packed[..., 3 + C:]
 
         # positional MLP: Dense(3) -> BN -> ReLU -> Dense(C)
         p_r = nn.Dense(3)(rel)
@@ -105,8 +106,10 @@ class TransitionDown(nn.Module):
             h = nn.Dense(self.out_planes, use_bias=False)(x)
             return nn.relu(PointNorm(self.norm)(h, train=train))
         new_xyz = geom.xyz
-        rel = bgather(parent_xyz, geom.down_knn_idx) - new_xyz[:, :, None, :]
-        grouped = jnp.concatenate([rel, bgather(x, geom.down_knn_idx)], axis=-1)
+        # single packed gather (see PointTransformerLayer note)
+        packed = bgather(jnp.concatenate([parent_xyz, x], axis=-1), geom.down_knn_idx)
+        rel = packed[..., :3] - new_xyz[:, :, None, :]
+        grouped = jnp.concatenate([rel, packed[..., 3:]], axis=-1)
         h = nn.Dense(self.out_planes, use_bias=False)(grouped)  # (B, M, K, C)
         h = nn.relu(PointNorm(self.norm)(h, train=train))
         return h.max(axis=2)
