@@ -100,6 +100,29 @@ def convert_torch_regressor(path: str) -> Dict[str, Any]:
     return params
 
 
+def save_regressor_npz(path: str, params: Dict[str, Any]) -> None:
+    """Persist flax regressor params as a flat npz ('/'-joined keys)."""
+    import jax
+
+    flat = {}
+    for keypath, leaf in jax.tree_util.tree_leaves_with_path(params):
+        name = "/".join(getattr(k, "key", str(k)) for k in keypath)
+        flat[name] = np.asarray(leaf)
+    np.savez(path, **flat)
+
+
+def load_regressor_npz(path: str) -> Dict[str, Any]:
+    flat = np.load(path)
+    tree: Dict[str, Any] = {}
+    for name in flat.files:
+        node = tree
+        parts = name.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = flat[name]
+    return tree
+
+
 def make_refine_fn(model: SMPLXModel, lr: float, steps: int):
     """Jitted Adam refinement of 69-d params against target joints
     (reference: utils/misc.py:78-125: joints MSE; + 0.1x acceleration
@@ -153,7 +176,11 @@ class JointsToSMPLXFitter:
             raise FileNotFoundError(f"JointsToSMPLX weights not found: {weights_path}")
         self.body_model = SMPLXModel.load_default()
         self.regressor = JointsToSMPLXRegressor()
-        self.params = {"params": convert_torch_regressor(weights_path)}
+        if weights_path.endswith(".npz"):
+            # natively trained weights (tools/train_joints_to_smplx.py)
+            self.params = {"params": load_regressor_npz(weights_path)}
+        else:
+            self.params = {"params": convert_torch_regressor(weights_path)}
         self.opt_rate = opt_rate
         self.opt_steps = opt_steps
         self._refine = make_refine_fn(self.body_model, opt_rate, opt_steps)

@@ -67,6 +67,9 @@ class SMPLXModel:
 
     @classmethod
     def load_default(cls) -> "SMPLXModel":
+        if os.environ.get("SMPLX_USE_SYNTHETIC"):
+            # tests / demos without the real body model on disk
+            return cls.synthetic()
         for cand in (
             os.environ.get("SMPLX_MODEL_PATH", ""),
             "./data/smplx/SMPLX_NEUTRAL.npz",
