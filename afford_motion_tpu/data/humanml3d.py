@@ -335,6 +335,30 @@ class ContactHumanML3DDataset(_H3DBase):
 
 
 @DATASET.register()
+class ContactHumanML3DExampleDataset(ContactHumanML3DDataset):
+    """Example-file-driven stage-1 sampling over H3D contacts. The
+    reference's text_to_motion_contact_gen.yaml names this class but never
+    shipped it (its sample mode was broken); lines: 'id#desc[#...]'."""
+
+    def __init__(self, cfg: Any, phase: str, **kwargs):
+        self.data_path = kwargs.get("data_path", "")
+        super().__init__(cfg, phase, **kwargs)
+
+    def _load_datasets(self) -> None:
+        self.name_list, self.desc_list = [], []
+        with open(self.data_path) as f:
+            for line in f:
+                parts = line.strip().split("#")
+                self.name_list.append(parts[0])
+                self.desc_list.append(parts[1] if len(parts) > 1 else "")
+        self.data_dict = {
+            name: {"text": [{"caption": desc, "tokens": [], "caption_idx": 0}]}
+            for name, desc in zip(self.name_list, self.desc_list)
+        }
+        self.indices = list(range(len(self.name_list)))
+
+
+@DATASET.register()
 class ContactMotionHumanML3DDataset(_H3DBase):
     """Stage-2 motion-from-contact over H3D (reference: humanml3d.py:559-801).
 
@@ -409,4 +433,56 @@ class ContactMotionHumanML3DDataset(_H3DBase):
             "info_caption_index": text["caption_idx"],
         }
         self._load_geometry(data, base)
+        return self.transform(data)
+
+
+@DATASET.register()
+class ContactMotionHumanML3DExampleDataset(ContactMotionHumanML3DDataset):
+    """Example-file-driven stage-2 sampling over H3D, consuming stage-1
+    visualizer output ``{contact_folder}/*-*/contact.npy`` (xyz ⊕ dist).
+    Named by the reference's text_to_motion_contact_motion_gen.yaml sample
+    section but never shipped there; lines: 'id#desc#length'."""
+
+    def __init__(self, cfg: Any, phase: str, **kwargs):
+        self.data_path = kwargs.get("data_path", "")
+        self._example_contact_folder = kwargs.get("contact_folder", "")
+        kwargs["contact_folder"] = kwargs.get("contact_folder") or "unused"
+        super().__init__(cfg, phase, **kwargs)
+
+    def _load_datasets(self) -> None:
+        from ..utils.misc import natsorted
+
+        files = natsorted(
+            glob.glob(os.path.join(self._example_contact_folder, "*-*", "contact.npy"))
+        )
+        assert files, f"no predicted contacts in {self._example_contact_folder}"
+        self.examples = []
+        with open(self.data_path) as f:
+            for i, line in enumerate(f):
+                parts = line.strip().split("#")
+                name, desc = parts[0], parts[1] if len(parts) > 1 else ""
+                length = int(parts[2]) if len(parts) > 2 and parts[2] else 60
+                contact = np.load(files[i % len(files)]).astype(np.float32)
+                self.examples.append((name, desc, length, contact))
+        self.indices = list(range(len(self.examples)))
+
+    def __len__(self) -> int:
+        return len(self.examples)
+
+    def __getitem__(self, idx: int) -> Dict:
+        name, desc, length, scene_contact = self.examples[idx]
+        xyz, dist = scene_contact[:, 0:3], scene_contact[:, 3:]
+        contact = dist if self.use_raw_dist else gaussian_contact(dist, self.sigma)
+        length = (length // self.unit_length) * self.unit_length
+        motion = np.zeros((self.max_horizon, self.motion_dim), dtype=np.float32)
+        data = {
+            "x": motion,
+            "x_mask": np.arange(self.max_horizon) >= length,
+            "c_pc_xyz": xyz,
+            "c_pc_contact": contact.astype(np.float32),
+            "c_text": desc,
+            "info_tokens": [],
+            "info_index": name,
+            "info_caption_index": 0,
+        }
         return self.transform(data)

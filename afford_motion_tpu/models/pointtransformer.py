@@ -312,6 +312,38 @@ class PointTransformerSeg(nn.Module):
         return dec[-1]  # (B, N, planes[0])
 
 
+def pointtransformer_seg_repro(**kwargs) -> "PointTransformerSeg":
+    """(reference: pointtransformer.py:285-287)."""
+    return PointTransformerSeg(**kwargs)
+
+
+def pointtransformer_enc_repro(**kwargs) -> "PointTransformerEnc":
+    """(reference: pointtransformer.py:289-291)."""
+    return PointTransformerEnc(**kwargs)
+
+
+def load_scene_model(name: str, c: int, num_points: int = 8192,
+                     pretrained_weight: str = "", freeze: bool = True):
+    """Scene-model factory by config name (reference: functions.py:96-126).
+
+    Returns (module, variables-or-None): variables are the converted torch
+    weights when ``pretrained_weight`` exists on disk."""
+    if name == "PointTransformerSeg":
+        model = PointTransformerSeg(c=c)
+    elif name == "PointTransformerEnc":
+        model = PointTransformerEnc(c=c)
+    else:
+        raise NotImplementedError(f"unknown scene model: {name}")
+    variables = None
+    import os
+
+    if pretrained_weight and os.path.exists(pretrained_weight):
+        from ..utils.torch_convert import convert_pointtransformer_seg
+
+        variables = convert_pointtransformer_seg(pretrained_weight)
+    return model, variables
+
+
 class PointTransformerEnc(nn.Module):
     """Encoder-only variant (reference: pointtransformer.py:216-283)."""
 

@@ -221,27 +221,58 @@ def convert_torch_encoder(sd: Dict, p: str, num_layers: int) -> Dict:
     }
 
 
+def convert_torch_decoder_layer(sd: Dict, p: str) -> Dict:
+    """torch nn.TransformerDecoderLayer -> flax TransformerDecoderLayer."""
+    return {
+        "TorchMultiHeadAttention_0": _torch_mha(sd, f"{p}.self_attn"),
+        "LayerNorm_0": _layernorm(sd, f"{p}.norm1"),
+        "TorchMultiHeadAttention_1": _torch_mha(sd, f"{p}.multihead_attn"),
+        "LayerNorm_1": _layernorm(sd, f"{p}.norm2"),
+        "Dense_0": _dense(sd, f"{p}.linear1"),
+        "Dense_1": _dense(sd, f"{p}.linear2"),
+        "LayerNorm_2": _layernorm(sd, f"{p}.norm3"),
+    }
+
+
 # ----------------------------------------------------------------- CMDM
 def convert_cmdm_checkpoint(path_or_sd, *, num_layers: Sequence[int] = (1, 1, 1, 1, 1),
                             blocks: Sequence[int] = (2, 2, 2, 2), arch: str = "trans_enc"):
-    """Reference CMDM model{step}.pt -> flax CMDM variables. Frozen CLIP/BERT
-    weights are absent from the reference checkpoint (stripped at save,
-    training.py:92-106) and not needed (text is pre-encoded here)."""
+    """Reference CMDM model{step}.pt -> flax CMDM variables (trans_enc and
+    trans_dec). Frozen CLIP/BERT weights are absent from the reference
+    checkpoint (stripped at save, training.py:92-106) and not needed
+    (text is pre-encoded here)."""
     sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_state_dict(path_or_sd)
-    assert arch == "trans_enc", "trans_dec conversion TODO"
-    sm_p, sm_s = convert_scenemap_encoder(sd, blocks, "contact_encoder.", with_decoder=False)
     params = {
         "timestep_embedder": {
             "Dense_0": _dense(sd, "timestep_embedder.time_embed.0"),
             "Dense_1": _dense(sd, "timestep_embedder.time_embed.2"),
         },
-        "contact_encoder": sm_p,
-        "contact_adapter": _dense(sd, "contact_adapter"),
         "language_adapter": _dense(sd, "language_adapter"),
         "motion_adapter": _dense(sd, "motion_adapter"),
-        "self_attn_layer": convert_torch_encoder(sd, "self_attn_layer", sum(num_layers)),
         "motion_layer": _dense(sd, "motion_layer"),
     }
+    if arch == "trans_enc":
+        sm_p, sm_s = convert_scenemap_encoder(sd, blocks, "contact_encoder.", with_decoder=False)
+        params["contact_encoder"] = sm_p
+        params["contact_adapter"] = _dense(sd, "contact_adapter")
+        params["self_attn_layer"] = convert_torch_encoder(sd, "self_attn_layer", sum(num_layers))
+    elif arch == "trans_dec":
+        sm_p, sm_s = convert_scenemap_encoder(sd, blocks, "contact_encoder.", with_decoder=True)
+        params["contact_encoder"] = sm_p
+        for i, n in enumerate(num_layers):
+            params[f"self_attn_layers_{i}"] = convert_torch_encoder(
+                sd, f"self_attn_layers.{i}", n
+            )
+        for i in range(len(num_layers) - 1):
+            params[f"kv_mapping_layers_{i}"] = {
+                "Dense_0": _dense(sd, f"kv_mappling_layers.{i}.0"),
+                "LayerNorm_0": _layernorm(sd, f"kv_mappling_layers.{i}.1"),
+            }
+            params[f"cross_attn_layers_{i}"] = convert_torch_decoder_layer(
+                sd, f"cross_attn_layers.{i}"
+            )
+    else:
+        raise NotImplementedError(arch)
     return {"params": params, "batch_stats": {"contact_encoder": sm_s}}
 
 
@@ -284,13 +315,40 @@ def _perceiver_self_layer(sd: Dict, p: str) -> Dict:
     }
 
 
+def _contact_mlp(sd: Dict, n_layers: int) -> Dict:
+    """ContactMLP: Sequential of PointSceneMLPs (reference: cdm.py:13-85)."""
+    out = {}
+    for i in range(n_layers):
+        p = f"contact_model.point_mlp.{i}"
+        out[f"PointSceneMLP_{i}"] = {
+            "LayerNorm_0": _layernorm(sd, f"{p}.mlp_pre.0"),
+            "Dense_0": _dense(sd, f"{p}.mlp_pre.1"),
+            "Dense_1": _dense(sd, f"{p}.mlp_pre.3"),
+            "LayerNorm_1": _layernorm(sd, f"{p}.mlp_post.0"),
+            "Dense_2": _dense(sd, f"{p}.mlp_post.1"),
+            "Dense_3": _dense(sd, f"{p}.mlp_post.3"),
+        }
+    return out
+
+
 def convert_cdm_checkpoint(path_or_sd, *, self_attn_layers: int = 2,
-                           arch: str = "Perceiver"):
-    """Reference CDM model{step}.pt (Perceiver arch) -> flax CDM variables.
-    Frozen CLIP + scene-model weights are stripped from the reference
-    checkpoint; the published t2m config uses use_scene_model=False."""
+                           arch: str = "Perceiver", mlp_layers: int = 2):
+    """Reference CDM model{step}.pt (Perceiver or MLP arch) -> flax CDM
+    variables. Frozen CLIP + scene-model weights are stripped from the
+    reference checkpoint; the published t2m config uses
+    use_scene_model=False."""
     sd = path_or_sd if isinstance(path_or_sd, dict) else load_torch_state_dict(path_or_sd)
-    assert arch == "Perceiver", "MLP/PointTrans conversion TODO"
+    if arch == "MLP":
+        params = {
+            "timestep_embedder": {
+                "Dense_0": _dense(sd, "timestep_embedder.time_embed.0"),
+                "Dense_1": _dense(sd, "timestep_embedder.time_embed.2"),
+            },
+            "contact_model": _contact_mlp(sd, mlp_layers),
+            "contact_layer": _dense(sd, "contact_layer"),
+        }
+        return {"params": params, "batch_stats": {}}
+    assert arch == "Perceiver", "PointTrans conversion via convert_point_* helpers"
     cm = "contact_model"
     contact_model = {
         "Dense_0": _dense(sd, f"{cm}.encoder_adapter"),

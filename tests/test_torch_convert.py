@@ -234,3 +234,107 @@ def test_cdm_perceiver_conversion():
     assert_tree_compatible(converted["params"], variables["params"])
     out = model.apply({"params": converted["params"]}, x, t, cond)
     assert out.shape == (1, N, 6) and np.isfinite(np.asarray(out)).all()
+
+
+def test_cmdm_trans_dec_conversion():
+    from afford_motion_tpu.models.cmdm import CMDM
+    from afford_motion_tpu.models.scene_map import SCENEMAP_NSAMPLES, SCENEMAP_STRIDES
+    from afford_motion_tpu.ops import build_point_hierarchy
+
+    planes, blocks, latent, nl = (16, 32, 64, 128), (2, 2, 2, 2), 64, (1, 1, 1)
+    sd = make_pt_sd(blocks, planes, (1, 4, 4, 4), c=9, prefix="contact_encoder.",
+                    with_decoder=True)
+    _lin(sd, "timestep_embedder.time_embed.0", latent, latent)
+    _lin(sd, "timestep_embedder.time_embed.2", latent, latent)
+    _lin(sd, "language_adapter", latent, 64)
+    _lin(sd, "motion_adapter", latent, 66)
+    _lin(sd, "motion_layer", 66, latent)
+
+    def enc_layer(p, d, ff):
+        sd[f"{p}.self_attn.in_proj_weight"] = (
+            rng.normal(size=(3 * d, d)) / np.sqrt(d)).astype(np.float32)
+        sd[f"{p}.self_attn.in_proj_bias"] = np.zeros(3 * d, np.float32)
+        _lin(sd, f"{p}.self_attn.out_proj", d, d)
+        _ln(sd, f"{p}.norm1", d)
+        _lin(sd, f"{p}.linear1", ff, d)
+        _lin(sd, f"{p}.linear2", d, ff)
+        _ln(sd, f"{p}.norm2", d)
+
+    for i, n in enumerate(nl):
+        for j in range(n):
+            enc_layer(f"self_attn_layers.{i}.layers.{j}", latent, 128)
+    for i in range(len(nl) - 1):
+        _lin(sd, f"kv_mappling_layers.{i}.0", latent, planes[-1 - i])
+        _ln(sd, f"kv_mappling_layers.{i}.1", latent)
+        p = f"cross_attn_layers.{i}"
+        for attn in ("self_attn", "multihead_attn"):
+            sd[f"{p}.{attn}.in_proj_weight"] = (
+                rng.normal(size=(3 * latent, latent)) / np.sqrt(latent)).astype(np.float32)
+            sd[f"{p}.{attn}.in_proj_bias"] = np.zeros(3 * latent, np.float32)
+            _lin(sd, f"{p}.{attn}.out_proj", latent, latent)
+        _ln(sd, f"{p}.norm1", latent)
+        _ln(sd, f"{p}.norm2", latent)
+        _ln(sd, f"{p}.norm3", latent)
+        _lin(sd, f"{p}.linear1", 128, latent)
+        _lin(sd, f"{p}.linear2", latent, 128)
+
+    converted = convert_cmdm_checkpoint(sd, num_layers=nl, blocks=blocks, arch="trans_dec")
+
+    model = CMDM(motion_dim=66, latent_dim=latent, time_emb_dim=latent,
+                 text_feat_dim=64, contact_dim=6, planes=planes, blocks=blocks,
+                 arch="trans_dec", num_layers=nl, num_heads=4, dim_feedforward=128)
+    xyz = jnp.asarray(rng.normal(size=(1, 256, 3)).astype(np.float32))
+    cond = {
+        "text_emb": jnp.zeros((1, 1, 64)),
+        "c_pc_xyz": xyz,
+        "c_pc_contact": jnp.zeros((1, 256, 6)),
+        "levels_sm": build_point_hierarchy(xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES),
+        "x_mask": jnp.zeros((1, 8), dtype=bool),
+    }
+    x = jnp.zeros((1, 8, 66))
+    t = jnp.zeros((1,), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, t, cond)
+    assert_tree_compatible(converted["params"], variables["params"])
+    assert_tree_compatible(converted["batch_stats"], variables["batch_stats"])
+    out = model.apply(converted, x, t, cond)
+    assert out.shape == (1, 8, 66) and np.isfinite(np.asarray(out)).all()
+
+
+def test_cdm_mlp_conversion():
+    from afford_motion_tpu.models.cdm import CDM
+
+    sd = {}
+    _lin(sd, "timestep_embedder.time_embed.0", 32, 32)
+    _lin(sd, "timestep_embedder.time_embed.2", 32, 32)
+    _lin(sd, "contact_layer", 6, 64)
+    dims = [64, 64]
+    idim = 6 + 64 + 32  # contact + text + time (no point feats)
+    for i, odim in enumerate(dims):
+        p = f"contact_model.point_mlp.{i}"
+        _ln(sd, f"{p}.mlp_pre.0", idim)
+        _lin(sd, f"{p}.mlp_pre.1", idim, idim)
+        _lin(sd, f"{p}.mlp_pre.3", odim, idim)
+        _ln(sd, f"{p}.mlp_post.0", 2 * odim)
+        _lin(sd, f"{p}.mlp_post.1", 2 * odim, 2 * odim)
+        _lin(sd, f"{p}.mlp_post.3", odim, 2 * odim)
+        idim = odim
+
+    converted = convert_cdm_checkpoint(sd, arch="MLP", mlp_layers=2)
+
+    model = CDM(contact_dim=6, time_emb_dim=32, text_feat_dim=64, point_feat_dim=0,
+                use_scene_model=False, arch="MLP",
+                arch_cfg=(("point_mlp_dims", (64, 64)),
+                          ("point_mlp_widening_factor", 1), ("point_mlp_bias", True)),
+                last_dim=64)
+    N = 64
+    cond = {
+        "text_emb": jnp.zeros((1, 1, 64)),
+        "c_pc_xyz": jnp.asarray(rng.normal(size=(1, N, 3)).astype(np.float32)),
+        "c_pc_feat": jnp.zeros((1, N, 3)),
+    }
+    x = jnp.zeros((1, N, 6))
+    t = jnp.zeros((1,), dtype=jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), x, t, cond)
+    assert_tree_compatible(converted["params"], variables["params"])
+    out = model.apply({"params": converted["params"]}, x, t, cond)
+    assert out.shape == (1, N, 6) and np.isfinite(np.asarray(out)).all()
