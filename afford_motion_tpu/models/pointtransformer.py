@@ -31,7 +31,14 @@ from ..ops.hierarchy import LevelGeometry
 
 
 def bgather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """Batched gather: x (B, N, C), idx (B, ...) -> (B, ..., C)."""
+    """Batched neighbourhood gather: x (B, N, C), idx (B, ...) -> (B, ..., C).
+
+    On TPU, 3-D (B, M, K) index gathers route to the Pallas kernel
+    (ops/pallas/gather.py — 2.4x fwd / 3.5x bwd vs the XLA gather)."""
+    if idx.ndim == 3 and jax.default_backend() == "tpu":
+        from ..ops.pallas.gather import gather_rows
+
+        return gather_rows(x, idx.astype(jnp.int32))
     return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
 
 
