@@ -17,7 +17,7 @@ but structured TPU-first:
 from __future__ import annotations
 
 import enum
-from typing import Any, Callable, Dict, Optional, Sequence, Union
+from typing import Any, Callable, Dict, Optional, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -10,16 +10,14 @@ from __future__ import annotations
 
 import os
 import time
-from pathlib import Path
-from typing import Any, Dict, Optional, Tuple
+from typing import Any
 
 import jax
 import jax.numpy as jnp
-import numpy as np
+
 
 from ..diffusion import GaussianDiffusion
 from ..models.cdm import CDM
-from ..models.cmdm import CMDM
 from ..models.conditioning import add_hierarchies, host_prepare_cond
 from ..models.text import TextEncoder
 from ..parallel.mesh import create_mesh_for_batch, replicate, shard_batch

@@ -7,7 +7,7 @@ from __future__ import annotations
 from typing import Any, Dict, Tuple
 
 import jax
-import jax.numpy as jnp
+
 
 from ..diffusion import GaussianDiffusion
 from ..models.conditioning import add_hierarchies, encode_conditions

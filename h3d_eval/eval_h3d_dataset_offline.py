@@ -13,12 +13,11 @@ import glob
 import os
 import pickle
 import random
-from typing import Dict, List
 
 import numpy as np
 
 from afford_motion_tpu.data.humanml3d import load_h3d_corpus
-from afford_motion_tpu.eval.eval_humanml import MAX_TEXT_LEN, tokenize
+from afford_motion_tpu.eval.eval_humanml import  tokenize
 from afford_motion_tpu.utils.misc import natsorted
 
 MAX_MOTION_LEN = 196
