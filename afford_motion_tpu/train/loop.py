@@ -14,6 +14,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 from ..diffusion import GaussianDiffusion
@@ -28,14 +29,20 @@ from .state import TrainState, make_optimizer
 logger = get_logger()
 
 
-def make_train_step(model, diffusion: GaussianDiffusion, sampler=None):
-    """Build the single jitted training step. Donates the state so the
-    optimizer update is in-place in HBM.
+def make_train_step(model, diffusion: GaussianDiffusion, sampler=None,
+                    steps_per_dispatch: int = 1):
+    """Build the jitted training step. Donates the state so the optimizer
+    update is in-place in HBM.
 
     ``sampler``: optional LossSecondMomentResampler for importance-sampled
     timesteps (reference: diffusion/resample.py:130-160); when given, the
     step signature grows a sampler_state operand and returns its update.
-    Default (None) is the uniform sampler every shipped config uses."""
+    Default (None) is the uniform sampler every shipped config uses.
+
+    ``steps_per_dispatch`` > 1 scans that many optimizer steps inside ONE
+    compiled dispatch over stacked (G, B, ...) megabatches — amortizing
+    host->device transfer + dispatch latency, which otherwise serializes
+    with compute (decisive on remote/tunneled TPU backends)."""
 
     use_importance = sampler is not None
 
@@ -84,7 +91,32 @@ def make_train_step(model, diffusion: GaussianDiffusion, sampler=None):
             return new_state, metrics, new_sampler_state
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,))
+    if steps_per_dispatch <= 1:
+        return jax.jit(train_step, donate_argnums=(0,))
+
+    G = steps_per_dispatch
+
+    def multi_step(state: TrainState, xs, conds, rng, sampler_state=None):
+        def body(carry, inp):
+            st, sstate = carry
+            i, x, cond = inp
+            sub_rng = jax.random.fold_in(rng, i)
+            if use_importance:
+                st, metrics, sstate = train_step(st, x, cond, sub_rng, sstate)
+            else:
+                st, metrics = train_step(st, x, cond, sub_rng)
+            return (st, sstate), metrics
+
+        (state, sampler_state), ms = jax.lax.scan(
+            body, (state, sampler_state),
+            (jnp.arange(G), xs, conds),
+        )
+        metrics = jax.tree_util.tree_map(lambda a: a[-1], ms)
+        if use_importance:
+            return state, metrics, sampler_state
+        return state, metrics
+
+    return jax.jit(multi_step, donate_argnums=(0,))
 
 
 class TrainLoop:
@@ -133,7 +165,13 @@ class TrainLoop:
         else:
             self._sampler = None
             self._sampler_state = None
-        self.train_step = make_train_step(model, diffusion, sampler=self._sampler)
+        self.steps_per_dispatch = int(tcfg.get("steps_per_dispatch", 4))
+        if self.steps_per_dispatch > self.max_steps:
+            self.steps_per_dispatch = 1
+        self.train_step = make_train_step(
+            model, diffusion, sampler=self._sampler,
+            steps_per_dispatch=self.steps_per_dispatch,
+        )
 
     # ------------------------------------------------------------------ init
     def _example_inputs(self):
@@ -199,27 +237,52 @@ class TrainLoop:
         steps_done_window = 0
         board = Board()
 
-        while step < self.max_steps:
-            self.dataloader.set_epoch(epoch)
-            for batch in self.dataloader:
+        G = self.steps_per_dispatch
+        steps_per_epoch = max(len(self.dataloader), 1)
+
+        def prepare(group):
+            """G host batches -> one stacked (G, B, ...) megabatch."""
+            prepared = [host_prepare_cond(b, self.text_encoder) for b in group]
+            xs = np.stack([np.asarray(x) for x, _ in prepared])
+            keys = prepared[0][1].keys()
+            conds = {k: np.stack([c[k] for _, c in prepared]) for k in keys}
+            return xs, conds
+
+        def batch_groups():
+            ep = epoch
+            group = []
+            while True:  # continuous stream; the consumer breaks at max_steps
+                self.dataloader.set_epoch(ep)
+                for b in self.dataloader:
+                    group.append(b)
+                    if len(group) == G:
+                        yield group
+                        group = []
+                ep += 1
+
+        from ..parallel.mesh import DevicePrefetcher
+
+        # background thread: text encode + one stacked host->device transfer
+        # per G optimizer steps, overlapped with the previous dispatch
+        prefetcher = DevicePrefetcher(batch_groups, prepare, self.mesh, batch_dim=1)
+        try:
+            for xs, conds in prefetcher:
                 if step >= self.max_steps:
                     break
-                x, cond = host_prepare_cond(batch, self.text_encoder)
-                x = shard_batch(jnp.asarray(x), self.mesh)
-                cond = shard_batch(
-                    {k: jnp.asarray(v) for k, v in cond.items()}, self.mesh
-                )
+                epoch = step // steps_per_epoch
+                if G == 1:
+                    xs, conds = xs[0], jax.tree_util.tree_map(lambda a: a[0], conds)
                 self.rng, step_rng = jax.random.split(self.rng)
                 if self._sampler is not None:
                     self.state, metrics, self._sampler_state = self.train_step(
-                        self.state, x, cond, step_rng, self._sampler_state
+                        self.state, xs, conds, step_rng, self._sampler_state
                     )
                 else:
-                    self.state, metrics = self.train_step(self.state, x, cond, step_rng)
-                step += 1
-                steps_done_window += 1
+                    self.state, metrics = self.train_step(self.state, xs, conds, step_rng)
+                step += G
+                steps_done_window += G
 
-                if step % self.log_every_step == 0:
+                if step % self.log_every_step < G:
                     m = jax.device_get(metrics)
                     dt = time.time() - t_start
                     sps = steps_done_window / max(dt, 1e-9)
@@ -240,11 +303,12 @@ class TrainLoop:
                     t_start = time.time()
                     steps_done_window = 0
 
-                if step % self.save_every_step == 0:
+                if step % self.save_every_step < G:
                     self.save(step)
-            epoch += 1
+        finally:
+            prefetcher.close()
 
-        if step % self.save_every_step != 0:
+        if step % self.save_every_step >= G:
             self.save(step)
 
     def save(self, step: int) -> None:

@@ -142,15 +142,24 @@ def _interpolate(node: Any, root: Dict[str, Any], depth: int = 0) -> Any:
     if isinstance(node, str):
         m = _INTERP_RE.fullmatch(node)
         if m:  # whole-string interpolation keeps the referenced type
-            val = _resolve_value(m.group(1), root)
+            try:
+                val = _resolve_value(m.group(1), root)
+            except (KeyError, IndexError, TypeError):
+                # OmegaConf interpolation is lazy: a dangling reference only
+                # errors when accessed. Leave it unresolved (e.g. cdm.yaml's
+                # ${task.dataset.use_color} under tasks that don't define it).
+                return node
             if isinstance(val, str) and _INTERP_RE.search(val):
                 return _interpolate(val, root, depth + 1)
             return _interpolate(val, root, depth + 1) if isinstance(val, (dict, list)) else val
 
         def sub(match: "re.Match[str]") -> str:
-            val = _resolve_value(match.group(1), root)
-            while isinstance(val, str) and _INTERP_RE.fullmatch(val):
-                val = _resolve_value(_INTERP_RE.fullmatch(val).group(1), root)
+            try:
+                val = _resolve_value(match.group(1), root)
+                while isinstance(val, str) and _INTERP_RE.fullmatch(val):
+                    val = _resolve_value(_INTERP_RE.fullmatch(val).group(1), root)
+            except (KeyError, IndexError, TypeError):
+                return match.group(0)  # leave unresolved (lazy semantics)
             return str(val)
 
         out = node

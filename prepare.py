@@ -113,8 +113,12 @@ def cmd_geometry(args) -> None:
         chunk = contact_files[start: start + B]
         xyz = np.stack([np.load(f)["points"][:, :3].astype(np.float32) for f in chunk])
         levels = build_point_hierarchy(jnp.asarray(xyz), strides, nsamples)
-        arrays = {k: np.asarray(v) for k, v in
-                  geometry_to_arrays(levels, prefix=f"geo_{args.kind}").items()}
+        arrays = {}
+        for k, v in geometry_to_arrays(levels, prefix=f"geo_{args.kind}").items():
+            v = np.asarray(v)
+            if v.dtype.kind == "i" and v.max(initial=0) < 32768:
+                v = v.astype(np.int16)  # halves wire/disk size; cast back on device
+            arrays[k] = v
         for b, f in enumerate(chunk):
             np.savez(os.path.join(out_dir, f"{name_of(f)}.npz"),
                      **{k: v[b] for k, v in arrays.items()})
