@@ -81,3 +81,30 @@ def test_dictconfig_access():
     c.a.d = {"e": 5}
     assert c.a.d.e == 5
     assert c.to_dict() == {"a": {"b": [1, {"c": 2}], "d": {"e": 5}}}
+
+
+def test_lazy_interpolation_of_dangling_refs(tmp_path):
+    """OmegaConf-style laziness: a reference into a group key that the
+    selected task doesn't define must not fail at load (the published t2m
+    configs rely on this for model.scene_model.use_color)."""
+    import textwrap
+    (tmp_path / "task").mkdir()
+    (tmp_path / "model").mkdir()
+    (tmp_path / "default.yaml").write_text(textwrap.dedent("""
+        defaults:
+          - _self_
+          - task: null
+          - model: null
+        seed: 1
+    """))
+    (tmp_path / "task" / "t.yaml").write_text("dataset:\n  num_points: 64\n")
+    (tmp_path / "model" / "m.yaml").write_text(textwrap.dedent("""
+        name: CDM
+        scene_model:
+          use_color: ${task.dataset.use_color}
+          num_points: ${task.dataset.num_points}
+    """))
+    cfg = load_config(tmp_path, ["task=t", "model=m"])
+    assert cfg.model.scene_model.num_points == 64
+    # dangling ref stays as the raw string instead of raising
+    assert cfg.model.scene_model.use_color == "${task.dataset.use_color}"
