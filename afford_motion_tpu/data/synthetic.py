@@ -99,6 +99,30 @@ def make_synthetic_h3d(
     (base / "all.txt").write_text("\n".join(names) + "\n")
 
 
+def make_synthetic_custom(
+    root: str,
+    n_items: int = 4,
+    num_points: int = 256,
+    seed: int = 7,
+) -> None:
+    """The novel-set 'custom' layout (custom/anno.csv with others/frame
+    columns + custom/points/*.npz) driving the *CustomDataset classes."""
+    rng = np.random.default_rng(seed)
+    base = Path(root) / "custom"
+    (base / "points").mkdir(parents=True, exist_ok=True)
+    (base / "scenes").mkdir(parents=True, exist_ok=True)
+    rows = ["scene_id,scene_trans_x,scene_trans_y,scene_trans_z,utterance,others,frame"]
+    for i in range(n_items):
+        points = rng.normal(size=(num_points, 6)).astype(np.float32)
+        points[:, 3:6] = rng.integers(0, 255, size=(num_points, 3))
+        np.savez(base / "points" / f"{i:04d}.npz", points=points)
+        rows.append(
+            f"scene{i},0.0,0.0,0.0,walk to the window,"
+            f"walk/VERB to/ADP the/DET window/NOUN,48"
+        )
+    (base / "anno.csv").write_text("\n".join(rows) + "\n")
+
+
 def make_synthetic_data_dir(
     root: str,
     sets: Sequence[str] = ("HumanML3D", "HUMANISE", "PROX"),
@@ -110,4 +134,5 @@ def make_synthetic_data_dir(
     for k, s in enumerate(sets):
         make_synthetic_motionx_set(root, s, n_items, num_points, seed=k)
     make_synthetic_h3d(root, n_items, num_points)
+    make_synthetic_custom(root, max(2, n_items // 2), num_points)
     return root

@@ -149,6 +149,9 @@ class TrainLoop:
         self.log_every_step = int(tcfg.get("log_every_step", 100))
         self.save_every_step = int(tcfg.get("save_every_step", 10000))
         self.resume_ckpt = str(tcfg.get("resume_ckpt", "") or "")
+        # capture a jax.profiler trace for this many steps after warmup
+        # (0 = off); written to <exp_dir>/log/profile
+        self.profile_steps = int(tcfg.get("profile_steps", 0))
 
         self.exp_dir = exp_dir
         self.ckpt_dir = mkdir_if_not_exists(os.path.join(exp_dir, "ckpt"))
@@ -265,10 +268,20 @@ class TrainLoop:
         # background thread: text encode + one stacked host->device transfer
         # per G optimizer steps, overlapped with the previous dispatch
         prefetcher = DevicePrefetcher(batch_groups, prepare, self.mesh, batch_dim=1)
+        profile_start = 2 * G if self.profile_steps > 0 else -1
+        profile_stop = profile_start + self.profile_steps
+        profiling = False
         try:
             for xs, conds in prefetcher:
                 if step >= self.max_steps:
                     break
+                if profile_start >= 0 and step >= profile_start and not profiling:
+                    jax.profiler.start_trace(os.path.join(self.exp_dir, "log", "profile"))
+                    profiling = True
+                if profiling and step >= profile_stop:
+                    jax.profiler.stop_trace()
+                    profiling = False
+                    logger.info("profiler trace written to log/profile")
                 epoch = step // steps_per_epoch
                 if G == 1:
                     xs, conds = xs[0], jax.tree_util.tree_map(lambda a: a[0], conds)
@@ -306,6 +319,8 @@ class TrainLoop:
                 if step % self.save_every_step < G:
                     self.save(step)
         finally:
+            if profiling:
+                jax.profiler.stop_trace()
             prefetcher.close()
 
         if step % self.save_every_step >= G:

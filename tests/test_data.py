@@ -188,3 +188,62 @@ def test_transforms_preserve_geometry(data_dir):
     assert np.isfinite(xyz).all()
     d_after = np.linalg.norm(xyz[0] - xyz[1])
     np.testing.assert_allclose(d_before, d_after, rtol=1e-5)
+
+
+def test_custom_datasets(data_dir, tmp_path):
+    """Novel-set Custom dataset classes (reference: motionx.py:340-421,
+    1072-1235)."""
+    base = DictConfig({
+        "name": "ContactMapCustomDataset",
+        "data_dir": data_dir,
+        "shuffle_seed": 0,
+        "sets": ["HUMANISE"],
+        "sets_config": {"HUMANISE": {"ratio": 1.0}},
+        "data_repr": "contact_cont_joints",
+        "data_repr_joints": [0, 10, 11, 12, 20, 21],
+        "use_raw_dist": False, "sigma": 0.5, "num_points": N_POINTS,
+        "use_color": True, "use_openscene": False, "point_feat_dim": 32,
+        "min_horizon": 24, "max_horizon": 196, "mix_train_ratio": 0.0,
+        "contact_type": "contact_cont_joints",
+        "contact_joints": [0, 10, 11, 12, 20, 21],
+        "train_transforms": ["NumpyToTensor"], "test_transforms": ["NumpyToTensor"],
+        "transform_cfg": {},
+    })
+    # stats caches must pre-exist (computed from the training corpus, as in
+    # the reference): instantiate the standard datasets once
+    std_map = DictConfig(dict(base)); std_map["name"] = "ContactMapDataset"
+    create_dataset(std_map, "train")
+    std_cm = DictConfig(dict(base)); std_cm["name"] = "ContactMotionDataset"
+    std_cm["data_repr"] = "pos"
+    create_dataset(std_cm, "train")
+    std_mx = DictConfig(dict(base)); std_mx["name"] = "MotionXDataset"
+    std_mx["data_repr"] = "pos"
+    create_dataset(std_mx, "train")
+
+    ds = create_dataset(base, "test")
+    item = ds[0]
+    assert item["x"].shape == (N_POINTS, 6)
+    assert item["c_pc_feat"].shape == (N_POINTS, 3)
+
+    # stage-2 custom consumes stage-1 pred_contact handoff
+    pred = tmp_path / "custom" / "pred_contact"
+    pred.mkdir(parents=True)
+    rng = np.random.default_rng(0)
+    for i in range(4):
+        np.save(pred / f"{i:05d}.npy",
+                np.abs(rng.normal(size=(1, N_POINTS, 6))).astype(np.float32))
+    cm = DictConfig(dict(base))
+    cm["name"] = "ContactMotionCustomDataset"
+    cm["data_repr"] = "pos"
+    ds2 = create_dataset(cm, "test", contact_folder=str(tmp_path))
+    item2 = ds2[0]
+    assert item2["x"].shape == (196, 66)
+    assert item2["c_pc_contact"].shape == (1, N_POINTS, 6)
+    assert int((~item2["x_mask"]).sum()) == 48
+
+    mx = DictConfig(dict(base))
+    mx["name"] = "MotionXCustomDataset"
+    mx["data_repr"] = "pos"
+    ds3 = create_dataset(mx, "test")
+    item3 = ds3[0]
+    assert item3["x"].shape == (196, 66)
