@@ -156,3 +156,31 @@ def test_data_parallel_step_on_8_devices():
     )
     # params actually updated
     assert int(new_state.step) == 1
+
+
+def test_multi_step_dispatch():
+    """steps_per_dispatch scans G optimizer steps in one compiled dispatch;
+    works with both the uniform and loss-aware samplers."""
+    from afford_motion_tpu.diffusion import LossSecondMomentResampler
+
+    rng = np.random.default_rng(9)
+    model = tiny_cmdm()
+    diffusion = tiny_diffusion()
+    x, cond = tiny_batch(rng)
+    G = 3
+    xs = jnp.stack([x] * G)
+    conds = jax.tree_util.tree_map(lambda a: jnp.stack([a] * G), cond)
+
+    state = init_state(model, x, cond)
+    step = make_train_step(model, diffusion, steps_per_dispatch=G)
+    state, m = step(state, xs, conds, jax.random.PRNGKey(0))
+    assert int(state.step) == G
+    assert np.isfinite(float(m["loss"]))
+
+    sampler = LossSecondMomentResampler(diffusion.num_timesteps)
+    sstate = sampler.init_state()
+    state = init_state(model, x, cond)
+    step = make_train_step(model, diffusion, sampler=sampler, steps_per_dispatch=G)
+    state, m, sstate = step(state, xs, conds, jax.random.PRNGKey(0), sstate)
+    assert int(state.step) == G
+    assert int(sstate.loss_counts.sum()) == G * x.shape[0]
