@@ -203,7 +203,7 @@ def eval_humanml(
     data_dir: Optional[str] = None,
     eval_meta_dir: str = "./data/eval",
     ckpt_path: str = "./data/eval/text_motion_match/text_mot_match_scenediff2_ckpt/finest.tar",
-    batch_size: int = 32,
+    batch_size: int = 16,
     diversity_times: int = 32,
     mm_num_times: int = 10,
 ) -> Dict[str, Dict[str, List]]:

@@ -265,11 +265,19 @@ class Text2MotionInSceneEvaluator(Eval):
     def eval_humanml(self, sample_list, k_samples_list, dataloader):
         """In-repo HumanML3D metrics through the frozen text-motion-match
         evaluator (reference: evaluate.py:388-407). Gated on the evaluator
-        checkpoint/meta existing on disk."""
+        checkpoint/meta existing on disk; paths configurable via
+        cfg.evaluator.{eval_meta_dir, t2m_ckpt_path}."""
         try:
             from .eval_humanml import eval_humanml
 
-            all_metrics = eval_humanml(sample_list, k_samples_list, dataloader)
+            kwargs = {}
+            if "eval_meta_dir" in self.cfg:
+                kwargs["eval_meta_dir"] = str(self.cfg.eval_meta_dir)
+            if "t2m_ckpt_path" in self.cfg:
+                kwargs["ckpt_path"] = str(self.cfg.t2m_ckpt_path)
+            if "eval_batch_size" in self.cfg:
+                kwargs["batch_size"] = int(self.cfg.eval_batch_size)
+            all_metrics = eval_humanml(sample_list, k_samples_list, dataloader, **kwargs)
         except FileNotFoundError as e:
             logger.warning(f"HumanML metrics skipped (missing asset: {e})")
             return

@@ -11,7 +11,8 @@ import pytest
 
 
 def _make_t2m_checkpoint(path, dim_pose=263, dim_move=512, dim_word=300,
-                         dim_pos=15, hid_text=512, hid_motion=1024, coemb=512):
+                         dim_pos=15, hid_text=512, hid_motion=1024, coemb=512,
+                         strip=True):
     """Random-weight torch checkpoint with the reference layout
     (reference: evaluator_wrapper.py:200-216 keys movement/text/motion_encoder)."""
     import torch
@@ -24,7 +25,7 @@ def _make_t2m_checkpoint(path, dim_pose=263, dim_move=512, dim_word=300,
         def __init__(self):
             super().__init__()
             self.main = nn.Sequential(
-                nn.Conv1d(dim_pose - 4, dim_move, 4, 2, 1), nn.Dropout(0.2),
+                nn.Conv1d(dim_pose - 4 if strip else dim_pose, dim_move, 4, 2, 1), nn.Dropout(0.2),
                 nn.LeakyReLU(0.2),
                 nn.Conv1d(dim_move, dim_move, 4, 2, 1), nn.Dropout(0.2),
                 nn.LeakyReLU(0.2),
@@ -121,3 +122,68 @@ def test_offline_eval_end_to_end(tmp_path):
     r = np.asarray(metrics["R_precision"]["vald"][0])
     assert r.shape == (3,) and (r >= 0).all() and (r <= 1).all()
     assert np.isfinite(metrics["MultiModality"]["vald"][0])
+
+
+@pytest.mark.slow
+def test_inrepo_humanml_metrics_through_evaluator(tmp_path):
+    """Text2MotionInSceneEvaluator's Rprecison/fid path (66-d evaluator,
+    reference: evaluate.py:388-407 + eval_humanml.py:164-183) on synthetic
+    assets."""
+    from afford_motion_tpu.data.synthetic import make_synthetic_motionx_set
+    from afford_motion_tpu.eval.evaluate import Text2MotionInSceneEvaluator
+    from afford_motion_tpu.utils.config import DictConfig
+
+    data_dir = tmp_path / "data"
+    make_synthetic_motionx_set(str(data_dir), "HumanML3D", n_items=16, num_points=64)
+    meta = tmp_path / "eval" / "meta"
+    meta.mkdir(parents=True)
+    np.savez(meta / "mean_std.npz",
+             mean=np.zeros(66, np.float32), std=np.ones(66, np.float32))
+    with open(meta / "test.txt", "w") as f:
+        f.write("\n".join(str(i) for i in range(16)))
+
+    ckpt = tmp_path / "finest.tar"
+    # 'ours' variant consumes the full 66-d motion (no strip-last-4)
+    _make_t2m_checkpoint(str(ckpt), dim_pose=66, strip=False)
+
+    cfg = DictConfig({"evaluator": {
+        "name": "Text2MotionInSceneEvaluator", "njoints": 22,
+        "k_samples": 0, "num_k_samples": 0, "eval_nbatch": 1,
+        "eval_metrics": ["fid", "Rprecison"], "save_results": False,
+        "opt_rate": 0.02, "opt_steps": 2,
+        "joints_to_smplx_model_weights": "",
+        "eval_meta_dir": str(tmp_path / "eval"),
+        "t2m_ckpt_path": str(ckpt),
+        "eval_batch_size": 8,
+    }})
+    ev = Text2MotionInSceneEvaluator(cfg)
+
+    dd = str(data_dir)
+
+    class _DS:
+        data_dir = dd
+
+        def denormalize(self, x, clip=False):
+            return x
+
+    class _DL:
+        dataset = _DS()
+
+    rng = np.random.default_rng(0)
+    samples = []
+    for i in range(16):
+        L = 40
+        x_mask = np.arange(196) >= L
+        samples.append({
+            "sample": rng.normal(size=(196, 66)).astype(np.float32),
+            "x_mask": x_mask,
+            "c_pc_xyz": rng.normal(size=(64, 3)).astype(np.float32),
+            "c_text": "walk", "info_tokens": ["walk/VERB"],
+            "info_set": "HumanML3D", "info_index": i,
+            "info_scene_trans": np.eye(4, dtype=np.float32),
+            "info_scene_mesh": "", "info_obj_mask": None,
+        })
+    ev.evaluate(samples, [], str(tmp_path), _DL())
+    keys = [k for k in ev.metrics if k.startswith("H3D+")]
+    assert any("FID" in k for k in keys), ev.metrics.keys()
+    assert any("R_precision" in k for k in keys)
