@@ -58,6 +58,9 @@ class DataLoader:
         self.drop_last = drop_last
         self.collate_fn = collate_fn
         self.prefetch = max(1, prefetch) if num_workers != 0 or prefetch else 0
+        # item loads are I/O-bound (np.load / native preads release the GIL),
+        # so torch-style num_workers maps onto a thread pool here
+        self.num_workers = max(0, int(num_workers))
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
@@ -87,8 +90,37 @@ class DataLoader:
         except BaseException as e:  # surface worker errors in the consumer
             q.put(e)
 
+    def _make_batch(self, idxs: np.ndarray) -> Dict[str, Any]:
+        return self.collate_fn([self.dataset[int(i)] for i in idxs])
+
+    def _iter_pooled(self, batches: List[np.ndarray]) -> Iterator[Dict[str, Any]]:
+        """num_workers>1: batches built concurrently, yielded in order, with
+        a bounded in-flight window so memory stays proportional to prefetch."""
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        window = self.num_workers + max(1, self.prefetch)
+        ex = ThreadPoolExecutor(max_workers=self.num_workers)
+        try:
+            pending: "deque" = deque()
+            it = iter(batches)
+            for idxs in batches[: window]:
+                pending.append(ex.submit(self._make_batch, idxs))
+                next(it)
+            while pending:
+                batch = pending.popleft().result()
+                nxt = next(it, None)
+                if nxt is not None:
+                    pending.append(ex.submit(self._make_batch, nxt))
+                yield batch
+        finally:
+            ex.shutdown(wait=False, cancel_futures=True)
+
     def __iter__(self) -> Iterator[Dict[str, Any]]:
         batches = self._batch_indices()
+        if self.num_workers > 1:
+            yield from self._iter_pooled(batches)
+            return
         if not self.prefetch:
             for idxs in batches:
                 yield self.collate_fn([self.dataset[int(i)] for i in idxs])

@@ -15,6 +15,8 @@ from typing import Any, Dict, List, Optional
 
 import numpy as np
 
+from .. import native as nio
+
 from ..utils.io import get_logger
 from ..utils.misc import compute_repr_dimension
 from ..utils.registry import DATASET
@@ -68,7 +70,7 @@ class _MotionXBase(BaseDataset):
                 if i not in split_ids[s]:
                     continue
                 if filter_horizon:
-                    motion = np.load(self._motion_path(s, i))
+                    motion = nio.load(self._motion_path(s, i))
                     if not (self.min_horizon <= motion.shape[0] <= self.max_horizon):
                         continue
                 self.all_data.append((s, i, scene_id, scene_trans, desc))
@@ -122,14 +124,14 @@ class _MotionXBase(BaseDataset):
                 self.data_dir, s, "contact_motion", f"geometry_{kind}", f"{i:05d}.npz"
             )
             if os.path.exists(f):
-                npz = np.load(f)
+                npz = nio.load(f)
                 for k in npz.files:
                     data[k] = npz[k]
 
     def _obj_mask(self, data: Dict, s: str, i: int) -> None:
         if self.phase == "test":
             if s == "HUMANISE":
-                data["info_obj_mask"] = np.load(
+                data["info_obj_mask"] = nio.load(
                     os.path.join(self.data_dir, s, "contact_motion", "target_mask", f"{i:05d}.npy")
                 )
             else:
@@ -157,7 +159,7 @@ class MotionXDataset(_MotionXBase):
         def compute():
             return np.concatenate(
                 [
-                    np.load(self._motion_path(s, i)).reshape(-1, compute_repr_dimension(self.motion_type))
+                    nio.load(self._motion_path(s, i)).reshape(-1, compute_repr_dimension(self.motion_type))
                     for s, i, *_ in self.all_data
                 ],
                 axis=0,
@@ -170,8 +172,8 @@ class MotionXDataset(_MotionXBase):
 
     def __getitem__(self, idx: int) -> Dict:
         s, i, scene_id, scene_trans, desc = self.all_data[self._resolve(idx)]
-        points = np.load(self._contact_path(s, i))["points"].astype(np.float32)
-        motion = np.load(self._motion_path(s, i))
+        points = nio.load(self._contact_path(s, i))["points"].astype(np.float32)
+        motion = nio.load(self._motion_path(s, i))
         motion = motion.reshape(motion.shape[0], -1)
         padded, mask = pad_motion(motion, self.max_horizon)
 
@@ -225,7 +227,7 @@ class ContactMapDataset(_MotionXBase):
         def compute():
             chunks = []
             for s, i, *_ in self.all_data:
-                dist = np.load(self._contact_path(s, i))["dist"].astype(np.float32)
+                dist = nio.load(self._contact_path(s, i))["dist"].astype(np.float32)
                 c = extract_contact(dist, self.contact_type, self.contact_joints)
                 if not self.use_raw_dist:
                     c = gaussian_contact(c, self.sigma)
@@ -236,7 +238,7 @@ class ContactMapDataset(_MotionXBase):
 
     def __getitem__(self, idx: int) -> Dict:
         s, i, scene_id, scene_trans, desc = self.all_data[self._resolve(idx)]
-        npz = np.load(self._contact_path(s, i))
+        npz = nio.load(self._contact_path(s, i))
         points = npz["points"].astype(np.float32)
         dist = npz["dist"].astype(np.float32)
 
@@ -268,12 +270,12 @@ class ContactMapDataset(_MotionXBase):
         """Distilled OpenScene features (reference: motionx.py:624-633)."""
         aff = os.path.join(self.data_dir, s, "contact_motion", "affordance", f"{i:05d}.npy")
         if self.point_feat_dim == 1 and os.path.exists(aff):
-            return np.load(aff).astype(np.float32)
+            return nio.load(aff).astype(np.float32)
         mask = npz["mask"]
         feat_file = os.path.join(
             self.data_dir, s, "feat", f"{full_name(s, scene_id)}_openscene_feat_distill.npy"
         )
-        return np.load(feat_file)[mask]
+        return nio.load(feat_file)[mask]
 
 
 @DATASET.register()
@@ -314,7 +316,7 @@ class ContactMotionDataset(_MotionXBase):
         def compute():
             chunks = []
             for s, i, *_ in self.all_data:
-                m = np.load(self._motion_path(s, i))
+                m = nio.load(self._motion_path(s, i))
                 chunks.append(m.reshape(m.shape[0], -1))
             return np.concatenate(chunks, axis=0)
 
@@ -326,23 +328,23 @@ class ContactMotionDataset(_MotionXBase):
     def _load_contact(self, s: str, i: int, dist: np.ndarray) -> np.ndarray:
         contact = extract_contact(dist, self.contact_type, self.contact_joints)
         if self.phase == "test":
-            contact = np.load(
+            contact = nio.load(
                 os.path.join(self.contact_folder, s, "pred_contact", f"{i:05d}.npy")
             )  # (k, n, j) raw distances from stage 1
         elif self.phase in ("train", "all") and np.random.random() < self.mix_train_ratio:
             f = os.path.join(self.data_dir, s, "pred_contact", f"{i:05d}.npy")
             if os.path.exists(f):
-                contact = np.load(f).squeeze(0)
+                contact = nio.load(f).squeeze(0)
         if not self.use_raw_dist:
             contact = gaussian_contact(contact, self.sigma)
         return contact.astype(np.float32)
 
     def __getitem__(self, idx: int) -> Dict:
         s, i, scene_id, scene_trans, desc = self.all_data[self._resolve(idx)]
-        npz = np.load(self._contact_path(s, i))
+        npz = nio.load(self._contact_path(s, i))
         points = npz["points"].astype(np.float32)
         dist = npz["dist"].astype(np.float32)
-        motion = np.load(self._motion_path(s, i))
+        motion = nio.load(self._motion_path(s, i))
         motion = motion.reshape(motion.shape[0], -1)
         padded, mask = pad_motion(motion, self.max_horizon)
 
@@ -381,7 +383,7 @@ class MotionXExampleDataset(MotionXDataset):
                 desc, s, index, nframes = line.strip("\n").split("#")
                 index = int(index)
                 scene_id, scene_trans, anno_desc = read_anno(self.data_dir, s)[index]
-                motion = np.load(self._motion_path(s, index))
+                motion = nio.load(self._motion_path(s, index))
                 if desc == "" or nframes == "":
                     descs = anno_desc
                 else:
@@ -392,7 +394,7 @@ class MotionXExampleDataset(MotionXDataset):
 
     def __getitem__(self, idx: int) -> Dict:
         s, i, scene_id, scene_trans, desc, motion = self.all_data[idx]
-        points = np.load(self._contact_path(s, i))["points"].astype(np.float32)
+        points = nio.load(self._contact_path(s, i))["points"].astype(np.float32)
         motion = motion.reshape(motion.shape[0], -1)
         padded, mask = pad_motion(motion, self.max_horizon)
         data = {
@@ -478,7 +480,7 @@ class ContactMotionExampleDataset(ContactMotionDataset):
             files = natsorted(
                 glob.glob(os.path.join(self._example_contact_folder, "*-*", "contact.npy"))
             )
-            pred_contacts = [np.load(f).astype(np.float32) for f in files]
+            pred_contacts = [nio.load(f).astype(np.float32) for f in files]
             assert pred_contacts, f"no predicted contacts in {self._example_contact_folder}"
             if self.gpu == 0:
                 logger.info(f"Load {len(pred_contacts)} predicted contacts")
@@ -491,7 +493,7 @@ class ContactMotionExampleDataset(ContactMotionDataset):
                 scene_id, scene_trans, _ = read_anno(self.data_dir, s)[index]
                 xyz = pred_contacts[i][:, 0:3]
                 dist = pred_contacts[i][:, 3:]
-                motion_shape = np.load(self._motion_path(s, index)).shape[1:]
+                motion_shape = nio.load(self._motion_path(s, index)).shape[1:]
                 motion = np.zeros((nframes, *motion_shape), dtype=np.float32)
                 self.all_data.append((s, index, scene_id, scene_trans, [desc], xyz, dist, motion))
         self.indices = None
@@ -538,7 +540,7 @@ class _CustomMixin:
         return rows
 
     def _custom_points(self, i: int) -> np.ndarray:
-        return np.load(
+        return nio.load(
             os.path.join(self.data_dir, "custom", "points", f"{i:04d}.npz")
         )["points"].astype(np.float32)
 
@@ -642,7 +644,7 @@ class ContactMotionCustomDataset(_CustomMixin, ContactMotionDataset):
         s, i, scene_id, scene_trans, desc, xyz, tokens, nframes = (
             self.all_data[self._resolve(idx)]
         )
-        contact = np.load(
+        contact = nio.load(
             os.path.join(self.contact_folder, s, "pred_contact", f"{i:05d}.npy")
         )
         if not self.use_raw_dist:

@@ -247,3 +247,44 @@ def test_custom_datasets(data_dir, tmp_path):
     ds3 = create_dataset(mx, "test")
     item3 = ds3[0]
     assert item3["x"].shape == (196, 66)
+
+
+class TestPooledLoader:
+    """num_workers>1 thread-pool path: order preserved, worker errors
+    surfaced, early abandonment clean."""
+
+    class _DS:
+        def __len__(self):
+            return 37
+
+        def __getitem__(self, i):
+            return {"x": np.full((2,), i, np.float32), "name": f"n{i}"}
+
+    def test_order_preserved(self):
+        from afford_motion_tpu.data.loader import DataLoader
+
+        dl = DataLoader(self._DS(), batch_size=4, shuffle=False, num_workers=4)
+        got = list(dl)
+        assert len(got) == 10
+        flat = np.concatenate([b["x"][:, 0] for b in got])
+        assert np.array_equal(flat, np.arange(37))
+        assert got[0]["name"] == ["n0", "n1", "n2", "n3"]
+
+    def test_worker_error_propagates(self):
+        from afford_motion_tpu.data.loader import DataLoader
+
+        class Bad(self._DS):
+            def __getitem__(self, i):
+                if i == 9:
+                    raise RuntimeError("boom")
+                return super().__getitem__(i)
+
+        with pytest.raises(RuntimeError, match="boom"):
+            list(DataLoader(Bad(), batch_size=4, num_workers=4))
+
+    def test_abandon_mid_epoch(self):
+        from afford_motion_tpu.data.loader import DataLoader
+
+        it = iter(DataLoader(self._DS(), batch_size=4, num_workers=4))
+        next(it)
+        del it  # must not hang at interpreter exit
