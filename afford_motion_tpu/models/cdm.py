@@ -49,21 +49,23 @@ class PointSceneMLP(nn.Module):
     out_dim: int
     widening_factor: int = 1
     bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         in_dim = x.shape[-1]
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.widening_factor * in_dim, use_bias=self.bias)(h)
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        h = nn.Dense(self.widening_factor * in_dim, use_bias=self.bias,
+                     dtype=self.dtype)(h)
         h = nn.gelu(h)
-        h = nn.Dense(self.out_dim, use_bias=self.bias)(h)
+        h = nn.Dense(self.out_dim, use_bias=self.bias, dtype=self.dtype)(h)
 
         scene = jnp.broadcast_to(h.mean(axis=1, keepdims=True), h.shape)
         h = jnp.concatenate([h, scene], axis=-1)
-        h = nn.LayerNorm()(h)
-        h = nn.Dense(2 * self.out_dim, use_bias=self.bias)(h)
+        h = nn.LayerNorm(dtype=jnp.float32)(h).astype(self.dtype)
+        h = nn.Dense(2 * self.out_dim, use_bias=self.bias, dtype=self.dtype)(h)
         h = nn.gelu(h)
-        return nn.Dense(self.out_dim, use_bias=self.bias)(h)
+        return nn.Dense(self.out_dim, use_bias=self.bias, dtype=self.dtype)(h)
 
 
 class ContactMLP(nn.Module):
@@ -72,6 +74,7 @@ class ContactMLP(nn.Module):
     point_mlp_dims: Sequence[int]
     widening_factor: int = 1
     bias: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, point_feat, text_emb, time_emb, cond, *, train: bool = False):
@@ -81,9 +84,10 @@ class ContactMLP(nn.Module):
             parts.append(point_feat)
         parts.append(jnp.broadcast_to(text_emb, (x.shape[0], N, text_emb.shape[-1])))
         parts.append(jnp.broadcast_to(time_emb, (x.shape[0], N, time_emb.shape[-1])))
-        h = jnp.concatenate(parts, axis=-1)
+        h = jnp.concatenate([p.astype(self.dtype) for p in parts], axis=-1)
         for odim in self.point_mlp_dims:
-            h = PointSceneMLP(odim, self.widening_factor, self.bias)(h)
+            h = PointSceneMLP(odim, self.widening_factor, self.bias,
+                              dtype=self.dtype)(h)
         return h
 
 
@@ -107,17 +111,18 @@ class ContactPerceiver(nn.Module):
     decoder_widening_factor: int = 1
     decoder_dropout: float = 0.1
     decoder_residual_dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, point_feat, text_emb, time_emb, cond, *, train: bool = False):
         if point_feat is not None:
-            x = jnp.concatenate([x, point_feat], axis=-1)
+            x = jnp.concatenate([x, point_feat.astype(x.dtype)], axis=-1)
         if self.point_pos_emb:
-            x = jnp.concatenate([x, cond["c_pc_xyz"]], axis=-1)
+            x = jnp.concatenate([x, cond["c_pc_xyz"].astype(x.dtype)], axis=-1)
 
-        enc_kv = nn.Dense(self.encoder_kv_input_channels)(x)       # (B, N, kv)
-        lang = nn.Dense(self.encoder_q_input_channels)(text_emb)   # (B, 1, q)
-        time = nn.Dense(self.encoder_q_input_channels)(time_emb)   # (B, 1, q)
+        enc_kv = nn.Dense(self.encoder_kv_input_channels, dtype=self.dtype)(x)
+        lang = nn.Dense(self.encoder_q_input_channels, dtype=self.dtype)(text_emb)
+        time = nn.Dense(self.encoder_q_input_channels, dtype=self.dtype)(time_emb)
         enc_q = jnp.concatenate([lang, time], axis=1)               # (B, 2, q)
 
         enc_q = CrossAttentionLayer(
@@ -127,6 +132,7 @@ class ContactPerceiver(nn.Module):
             widening_factor=self.encoder_widening_factor,
             dropout=self.encoder_dropout,
             residual_dropout=self.encoder_residual_dropout,
+            dtype=self.dtype,
         )(enc_q, enc_kv, train=train)
         enc_q = SelfAttentionBlock(
             num_layers=self.encoder_self_attn_num_layers,
@@ -135,9 +141,10 @@ class ContactPerceiver(nn.Module):
             widening_factor=self.encoder_widening_factor,
             dropout=self.encoder_dropout,
             residual_dropout=self.encoder_residual_dropout,
+            dtype=self.dtype,
         )(enc_q, train=train)
 
-        dec_q = nn.Dense(self.decoder_q_input_channels)(enc_kv)    # (B, N, dq)
+        dec_q = nn.Dense(self.decoder_q_input_channels, dtype=self.dtype)(enc_kv)
         dec_q = CrossAttentionLayer(
             num_heads=self.decoder_num_heads,
             num_q_input_channels=self.decoder_q_input_channels,
@@ -145,6 +152,7 @@ class ContactPerceiver(nn.Module):
             widening_factor=self.decoder_widening_factor,
             dropout=self.decoder_dropout,
             residual_dropout=self.decoder_residual_dropout,
+            dtype=self.dtype,
         )(dec_q, enc_q, train=train)
         return dec_q
 
@@ -155,12 +163,13 @@ class _CtxMLP(nn.Module):
 
     planes: int
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, *, train: bool = False):
-        h = nn.Dense(self.planes)(x)
-        h = nn.relu(PointNorm(self.norm)(h, train=train))
-        return nn.Dense(self.planes)(h)
+        h = nn.Dense(self.planes, dtype=self.dtype)(x)
+        h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
+        return nn.Dense(self.planes, dtype=self.dtype)(h)
 
 
 class ContactPointTrans(nn.Module):
@@ -171,28 +180,30 @@ class ContactPointTrans(nn.Module):
     planes: Sequence[int] = CDM_PT_PLANES
     norm: str = "batch"
     v2: bool = False  # PointTransV2: per-level ctx + bottleneck self-attn
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, point_feat, text_emb, time_emb, cond, *, train: bool = False):
         levels = cond["levels_pt"]
         if point_feat is not None:
-            x = jnp.concatenate([x, point_feat], axis=-1)
-        context = jnp.concatenate([text_emb, time_emb], axis=-1)   # (B, 1, Dt+De)
-        x0 = jnp.concatenate([levels[0].xyz, x], axis=-1)
+            x = jnp.concatenate([x, point_feat.astype(x.dtype)], axis=-1)
+        context = jnp.concatenate([text_emb, time_emb], axis=-1).astype(self.dtype)
+        x0 = jnp.concatenate([levels[0].xyz.astype(x.dtype), x], axis=-1)
 
         feats: List[jnp.ndarray] = []
         h = x0
         parent_xyz = levels[0].xyz
         for i, plane in enumerate(self.planes):
             h = PointEncoderStage(
-                plane, self.blocks[i], CDM_PT_STRIDES[i], norm=self.norm
+                plane, self.blocks[i], CDM_PT_STRIDES[i], norm=self.norm,
+                dtype=self.dtype,
             )(parent_xyz, h, levels[i], train=train)
             feats.append(h)
             parent_xyz = levels[i].xyz
 
         def inject(feat, plane):
             ctx = jnp.broadcast_to(context, feat.shape[:2] + (context.shape[-1],))
-            return _CtxMLP(plane, self.norm)(
+            return _CtxMLP(plane, self.norm, dtype=self.dtype)(
                 jnp.concatenate([feat, ctx], axis=-1), train=train
             )
 
@@ -201,21 +212,21 @@ class ContactPointTrans(nn.Module):
             x4 = TransformerEncoder(
                 num_layers=1, d_model=self.planes[3], num_heads=8,
                 dim_feedforward=1024, dropout=0.1, activation=nn.relu,
+                dtype=self.dtype,
             )(x4, train=train)
         x4 = inject(x4, self.planes[3])
-        x4 = PointDecoderStage(self.planes[3], 2, norm=self.norm, is_head=True)(
-            x4, levels[3], train=train
-        )
+        x4 = PointDecoderStage(self.planes[3], 2, norm=self.norm, is_head=True,
+                               dtype=self.dtype)(x4, levels[3], train=train)
 
         x3 = inject(feats[2], self.planes[2]) if self.v2 else feats[2]
-        x3 = PointDecoderStage(self.planes[2], 2, norm=self.norm)(
+        x3 = PointDecoderStage(self.planes[2], 2, norm=self.norm, dtype=self.dtype)(
             x3, levels[2], coarse_x=x4, coarse_geom=levels[3], train=train
         )
         x2 = inject(feats[1], self.planes[1]) if self.v2 else feats[1]
-        x2 = PointDecoderStage(self.planes[1], 2, norm=self.norm)(
+        x2 = PointDecoderStage(self.planes[1], 2, norm=self.norm, dtype=self.dtype)(
             x2, levels[1], coarse_x=x3, coarse_geom=levels[2], train=train
         )
-        x1 = PointDecoderStage(self.planes[0], 2, norm=self.norm)(
+        x1 = PointDecoderStage(self.planes[0], 2, norm=self.norm, dtype=self.dtype)(
             feats[0], levels[0], coarse_x=x2, coarse_geom=levels[1], train=train
         )
         return x1  # (B, N, planes[0])
@@ -237,6 +248,9 @@ class CDM(nn.Module):
     arch_cfg: Tuple[Tuple[str, Any], ...] = ()
     last_dim: int = 256
     norm: str = "batch"
+    # computation dtype; params, the frozen scene model and the output head
+    # stay float32
+    dtype: Any = jnp.float32
 
     @property
     def needs_seg_hierarchy(self) -> bool:
@@ -249,29 +263,36 @@ class CDM(nn.Module):
     def setup(self):
         ac = dict(self.arch_cfg)
         self.timestep_embedder = TimestepEmbedder(
-            d_model=self.time_emb_dim, time_embed_dim=self.time_emb_dim, max_len=1000
+            d_model=self.time_emb_dim, time_embed_dim=self.time_emb_dim, max_len=1000,
+            dtype=self.dtype,
         )
         if self.needs_seg_hierarchy:
+            # frozen feature extractor: always f32 (its pretrained torch
+            # weights were produced in f32; it runs once per batch/chain)
             self.scene_model = PointTransformerSeg(c=self.scene_in_dim, norm=self.norm)
         if self.arch == "MLP":
             self.contact_model = ContactMLP(
                 point_mlp_dims=tuple(ac.get("point_mlp_dims", (512, 512))),
                 widening_factor=int(ac.get("point_mlp_widening_factor", 1)),
                 bias=bool(ac.get("point_mlp_bias", True)),
+                dtype=self.dtype,
             )
         elif self.arch == "Perceiver":
             self.contact_model = ContactPerceiver(
-                **{k: v for k, v in ac.items() if k != "last_dim"}
+                **{k: v for k, v in ac.items() if k != "last_dim"},
+                dtype=self.dtype,
             )
         elif self.arch in ("PointTrans", "PointTransV2"):
             self.contact_model = ContactPointTrans(
                 blocks=tuple(ac.get("blocks", (2, 2, 2, 2))),
                 norm=self.norm,
                 v2=self.arch == "PointTransV2",
+                dtype=self.dtype,
             )
         else:
             raise NotImplementedError(self.arch)
-        self.contact_layer = nn.Dense(self.contact_dim)
+        # prediction head in f32: diffusion x0/loss math stays full precision
+        self.contact_layer = nn.Dense(self.contact_dim, dtype=jnp.float32)
 
     def encode_scene(self, cond: Dict[str, Any], *, train: bool = False):
         """Frozen per-point scene features — compute once per batch/chain
@@ -309,10 +330,12 @@ class CDM(nn.Module):
         train: bool = False,
     ) -> jnp.ndarray:
         time_emb = self.timestep_embedder(timesteps)               # (B, 1, De)
-        text_emb = cond["text_emb"].astype(jnp.float32)            # (B, 1, Dt)
+        text_emb = cond["text_emb"].astype(self.dtype)             # (B, 1, Dt)
         point_feat = self._point_features(cond, text_emb, scene_feat)
-        h = self.contact_model(x, point_feat, text_emb, time_emb, cond, train=train)
-        return self.contact_layer(h)
+        h = self.contact_model(
+            x.astype(self.dtype), point_feat, text_emb, time_emb, cond, train=train
+        )
+        return self.contact_layer(h.astype(jnp.float32))
 
     def __call__(self, x, timesteps, cond, *, train: bool = False):
         scene_feat = self.encode_scene(cond, train=train)
@@ -352,4 +375,5 @@ def build_cdm(model_cfg: Any) -> CDM:
         arch_cfg=arch_items,
         last_dim=int(ac.last_dim),
         norm=str(model_cfg.get("norm", "batch")),
+        dtype=jnp.dtype(str(model_cfg.get("dtype", "float32"))),
     )

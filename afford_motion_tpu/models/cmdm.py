@@ -51,6 +51,9 @@ class CMDM(nn.Module):
     dropout: float = 0.1
     dim_feedforward: int = 1024
     norm: str = "batch"
+    # computation dtype: bfloat16 halves activation HBM traffic (the
+    # non-gather bound on TPU); params and the output head stay float32
+    dtype: Any = jnp.float32
 
     @property
     def needs_scenemap_hierarchy(self) -> bool:
@@ -58,13 +61,15 @@ class CMDM(nn.Module):
 
     def setup(self):
         self.timestep_embedder = TimestepEmbedder(
-            d_model=self.latent_dim, time_embed_dim=self.time_emb_dim, max_len=1000
+            d_model=self.latent_dim, time_embed_dim=self.time_emb_dim, max_len=1000,
+            dtype=self.dtype,
         )
         if self.arch == "trans_enc":
             self.contact_encoder = SceneMapEncoder(
-                planes=tuple(self.planes), blocks=tuple(self.blocks), norm=self.norm
+                planes=tuple(self.planes), blocks=tuple(self.blocks), norm=self.norm,
+                dtype=self.dtype,
             )
-            self.contact_adapter = nn.Dense(self.latent_dim)
+            self.contact_adapter = nn.Dense(self.latent_dim, dtype=self.dtype)
             self.self_attn_layer = TransformerEncoder(
                 num_layers=sum(self.num_layers),
                 d_model=self.latent_dim,
@@ -72,10 +77,12 @@ class CMDM(nn.Module):
                 dim_feedforward=self.dim_feedforward,
                 dropout=self.dropout,
                 activation=nn.gelu,
+                dtype=self.dtype,
             )
         elif self.arch == "trans_dec":
             self.contact_encoder = SceneMapEncoderDecoder(
-                planes=tuple(self.planes), blocks=tuple(self.blocks), norm=self.norm
+                planes=tuple(self.planes), blocks=tuple(self.blocks), norm=self.norm,
+                dtype=self.dtype,
             )
             self.self_attn_layers = [
                 TransformerEncoder(
@@ -85,13 +92,15 @@ class CMDM(nn.Module):
                     dim_feedforward=self.dim_feedforward,
                     dropout=self.dropout,
                     activation=nn.gelu,
+                    dtype=self.dtype,
                 )
                 for n in self.num_layers
             ]
             # kv adapters for cross-attn to multi-scale features, coarsest
             # first: planes[-1], planes[-2], ... (reference: cmdm.py:98-103)
             self.kv_mapping_layers = [
-                _KvMap(self.latent_dim) for _ in range(len(self.num_layers) - 1)
+                _KvMap(self.latent_dim, dtype=self.dtype)
+                for _ in range(len(self.num_layers) - 1)
             ]
             self.cross_attn_layers = [
                 TransformerDecoderLayer(
@@ -100,18 +109,20 @@ class CMDM(nn.Module):
                     dim_feedforward=self.dim_feedforward,
                     dropout=self.dropout,
                     activation=nn.gelu,
+                    dtype=self.dtype,
                 )
                 for _ in range(len(self.num_layers) - 1)
             ]
         else:
             raise NotImplementedError(self.arch)
 
-        self.language_adapter = nn.Dense(self.latent_dim)
-        self.motion_adapter = nn.Dense(self.latent_dim)
+        self.language_adapter = nn.Dense(self.latent_dim, dtype=self.dtype)
+        self.motion_adapter = nn.Dense(self.latent_dim, dtype=self.dtype)
         self.positional_encoder = PositionalEncoding(
-            self.latent_dim, dropout=self.dropout, max_len=5000
+            self.latent_dim, dropout=self.dropout, max_len=5000, dtype=self.dtype
         )
-        self.motion_layer = nn.Dense(self.motion_dim)
+        # prediction head in f32: the diffusion loss/x0 math stays full precision
+        self.motion_layer = nn.Dense(self.motion_dim, dtype=jnp.float32)
 
     # ------------------------------------------------------------ conditions
     def encode_contact(
@@ -137,12 +148,12 @@ class CMDM(nn.Module):
         time_emb = self.timestep_embedder(timesteps)               # (B, 1, D)
         time_mask = jnp.zeros((B, 1), dtype=bool)
 
-        text_emb = cond["text_emb"].astype(jnp.float32)            # (B, 1, Dt)
+        text_emb = cond["text_emb"].astype(self.dtype)             # (B, 1, Dt)
         text_mask = jnp.zeros((B, 1), dtype=bool)
         if "c_text_mask" in cond:
             text_mask = jnp.logical_or(text_mask, cond["c_text_mask"])
         if "c_text_erase" in cond:
-            text_emb = text_emb * (1.0 - cond["c_text_erase"][..., None].astype(jnp.float32))
+            text_emb = text_emb * (1.0 - cond["c_text_erase"][..., None].astype(text_emb.dtype))
         text_emb = self.language_adapter(text_emb)
 
         h = self.motion_adapter(x)                                  # (B, L, D)
@@ -155,7 +166,7 @@ class CMDM(nn.Module):
                     cont_mask, jnp.broadcast_to(cond["c_pc_mask"], cont_mask.shape)
                 )
             if "c_pc_erase" in cond:
-                c = c * (1.0 - cond["c_pc_erase"][..., None].astype(jnp.float32))
+                c = c * (1.0 - cond["c_pc_erase"][..., None].astype(c.dtype))
             c = self.contact_adapter(c)                             # (B, G, D)
 
             tokens = jnp.concatenate([time_emb, text_emb, c, h], axis=1)
@@ -184,7 +195,7 @@ class CMDM(nn.Module):
                             mem_mask, jnp.broadcast_to(cond["c_pc_mask"], mem_mask.shape)
                         )
                     if "c_pc_erase" in cond:
-                        mem = mem * (1.0 - cond["c_pc_erase"][..., None].astype(jnp.float32))
+                        mem = mem * (1.0 - cond["c_pc_erase"][..., None].astype(mem.dtype))
                     mem = self.kv_mapping_layers[i](mem)
                     tokens = self.cross_attn_layers[i](
                         tokens, mem, tgt_pad_mask=pad_mask, mem_pad_mask=mem_mask,
@@ -192,7 +203,7 @@ class CMDM(nn.Module):
                     )
             h = tokens[:, 2:, :]
 
-        return self.motion_layer(h)
+        return self.motion_layer(h.astype(jnp.float32))
 
     def __call__(self, x, timesteps, cond, *, train: bool = False):
         cont_emb = self.encode_contact(cond, train=train)
@@ -203,10 +214,12 @@ class _KvMap(nn.Module):
     """Dense + LayerNorm kv adapter (reference: cmdm.py:98-103)."""
 
     latent_dim: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        return nn.LayerNorm()(nn.Dense(self.latent_dim)(x))
+        h = nn.Dense(self.latent_dim, dtype=self.dtype)(x)
+        return nn.LayerNorm(dtype=jnp.float32)(h).astype(self.dtype)
 
 
 def build_cmdm(model_cfg: Any) -> CMDM:
@@ -230,4 +243,5 @@ def build_cmdm(model_cfg: Any) -> CMDM:
         dropout=float(model_cfg.dropout),
         dim_feedforward=int(model_cfg.dim_feedforward),
         norm=str(model_cfg.get("norm", "batch")),
+        dtype=jnp.dtype(str(model_cfg.get("dtype", "float32"))),
     )

@@ -5,6 +5,12 @@ Everything is flax.linen with explicit ``train`` flags; attention is plain
 einsum that XLA fuses (sequence lengths here are ≤ a few hundred tokens +
 8192-point KV sets — no flash/blockwise attention needed, SURVEY.md §5).
 
+Mixed precision: every module takes ``dtype`` (the computation dtype —
+bfloat16 halves the HBM traffic of activations, which is what bounds the
+non-gather time on TPU; matmuls already run bf16 passes on the MXU either
+way). Params stay float32; softmax logits and LayerNorm always compute in
+float32 and cast back.
+
 PyTorch-parity notes:
 - ``TransformerEncoderLayer``/``TransformerDecoderLayer`` replicate torch's
   POST-layer-norm ordering (torch default norm_first=False), which the
@@ -14,7 +20,7 @@ PyTorch-parity notes:
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
+from typing import Any, Callable, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -40,11 +46,12 @@ class PositionalEncoding(nn.Module):
     dim: int
     dropout: float = 0.1
     max_len: int = 5000
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         pe = jnp.asarray(sinusoidal_table(self.max_len, self.dim))
-        x = x + pe[None, : x.shape[1], :]
+        x = x.astype(self.dtype) + pe[None, : x.shape[1], :].astype(self.dtype)
         return nn.Dropout(self.dropout, deterministic=not train)(x)
 
 
@@ -55,14 +62,15 @@ class TimestepEmbedder(nn.Module):
     d_model: int
     time_embed_dim: int
     max_len: int = 1000
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, timesteps: jnp.ndarray) -> jnp.ndarray:
         pe = jnp.asarray(sinusoidal_table(self.max_len, self.time_embed_dim))
         emb = pe[timesteps][:, None, :]  # (B, 1, time_embed_dim)
-        emb = nn.Dense(self.d_model)(emb)
+        emb = nn.Dense(self.d_model, dtype=self.dtype)(emb)
         emb = nn.silu(emb)
-        emb = nn.Dense(self.d_model)(emb)
+        emb = nn.Dense(self.d_model, dtype=self.dtype)(emb)
         return emb
 
 
@@ -81,11 +89,13 @@ def _attention(
     q = q.reshape(B, Lq, num_heads, hd).transpose(0, 2, 1, 3)
     k = k.reshape(B, Lk, num_heads, -1).transpose(0, 2, 1, 3)
     v = v.reshape(B, Lk, num_heads, -1).transpose(0, 2, 1, 3)
-    attn = jnp.einsum("bhic,bhjc->bhij", q * (hd ** -0.5), k)
+    # logits + softmax in f32 regardless of compute dtype
+    attn = jnp.einsum("bhic,bhjc->bhij", q * (hd ** -0.5), k,
+                      preferred_element_type=jnp.float32)
     if pad_mask is not None:
         neg = jnp.finfo(attn.dtype).min
         attn = jnp.where(pad_mask[:, None, None, :], neg, attn)
-    attn = nn.softmax(attn, axis=-1)
+    attn = nn.softmax(attn, axis=-1).astype(v.dtype)
     attn = dropout(attn)
     o = jnp.einsum("bhij,bhjc->bhic", attn, v)
     return o.transpose(0, 2, 1, 3).reshape(B, Lq, -1)
@@ -97,15 +107,16 @@ class TorchMultiHeadAttention(nn.Module):
     d_model: int
     num_heads: int
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, query, key, value, pad_mask=None, *, train: bool = False):
-        q = nn.Dense(self.d_model)(query)
-        k = nn.Dense(self.d_model)(key)
-        v = nn.Dense(self.d_model)(value)
+        q = nn.Dense(self.d_model, dtype=self.dtype)(query)
+        k = nn.Dense(self.d_model, dtype=self.dtype)(key)
+        v = nn.Dense(self.d_model, dtype=self.dtype)(value)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         o = _attention(q, k, v, self.num_heads, pad_mask, drop)
-        return nn.Dense(self.d_model)(o)
+        return nn.Dense(self.d_model, dtype=self.dtype)(o)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -117,20 +128,22 @@ class TransformerEncoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     activation: Callable = nn.gelu
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask=None, *, train: bool = False):
-        attn = TorchMultiHeadAttention(self.d_model, self.num_heads, self.dropout)(
-            x, x, x, pad_mask, train=train
-        )
+        x = x.astype(self.dtype)
+        attn = TorchMultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype
+        )(x, x, x, pad_mask, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
-        x = nn.LayerNorm()(x)
-        h = nn.Dense(self.dim_feedforward)(x)
+        x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
         h = self.activation(h)
         h = nn.Dropout(self.dropout, deterministic=not train)(h)
-        h = nn.Dense(self.d_model)(h)
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(h)
-        return nn.LayerNorm()(x)
+        return nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
 
 
 class TransformerEncoder(nn.Module):
@@ -142,13 +155,14 @@ class TransformerEncoder(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     activation: Callable = nn.gelu
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask=None, *, train: bool = False):
         for _ in range(self.num_layers):
             x = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
-                self.dropout, self.activation,
+                self.dropout, self.activation, dtype=self.dtype,
             )(x, pad_mask, train=train)
         return x
 
@@ -162,20 +176,23 @@ class TransformerDecoderLayer(nn.Module):
     dim_feedforward: int
     dropout: float = 0.1
     activation: Callable = nn.gelu
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, memory, tgt_pad_mask=None, mem_pad_mask=None, *, train: bool = False):
+        x = x.astype(self.dtype)
+        memory = memory.astype(self.dtype)
         drop = lambda: nn.Dropout(self.dropout, deterministic=not train)
-        attn = TorchMultiHeadAttention(self.d_model, self.num_heads, self.dropout)(
-            x, x, x, tgt_pad_mask, train=train
-        )
-        x = nn.LayerNorm()(x + drop()(attn))
-        cross = TorchMultiHeadAttention(self.d_model, self.num_heads, self.dropout)(
-            x, memory, memory, mem_pad_mask, train=train
-        )
-        x = nn.LayerNorm()(x + drop()(cross))
-        h = nn.Dense(self.dim_feedforward)(x)
+        attn = TorchMultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype
+        )(x, x, x, tgt_pad_mask, train=train)
+        x = nn.LayerNorm(dtype=jnp.float32)(x + drop()(attn)).astype(self.dtype)
+        cross = TorchMultiHeadAttention(
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype
+        )(x, memory, memory, mem_pad_mask, train=train)
+        x = nn.LayerNorm(dtype=jnp.float32)(x + drop()(cross)).astype(self.dtype)
+        h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)
         h = self.activation(h)
         h = drop()(h)
-        h = nn.Dense(self.d_model)(h)
-        return nn.LayerNorm()(x + drop()(h))
+        h = nn.Dense(self.d_model, dtype=self.dtype)(h)
+        return nn.LayerNorm(dtype=jnp.float32)(x + drop()(h)).astype(self.dtype)

@@ -12,7 +12,7 @@ system and intentionally omitted.
 """
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Optional
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -31,6 +31,7 @@ class PerceiverMHA(nn.Module):
     num_v_channels: Optional[int] = None
     num_output_channels: Optional[int] = None
     dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_q, x_kv, pad_mask=None, *, train: bool = False):
@@ -39,12 +40,12 @@ class PerceiverMHA(nn.Module):
         out_ch = self.num_output_channels or self.num_q_input_channels
         assert qk % self.num_heads == 0 and v_ch % self.num_heads == 0
 
-        q = nn.Dense(qk)(x_q)
-        k = nn.Dense(qk)(x_kv)
-        v = nn.Dense(v_ch)(x_kv)
+        q = nn.Dense(qk, dtype=self.dtype)(x_q)
+        k = nn.Dense(qk, dtype=self.dtype)(x_kv)
+        v = nn.Dense(v_ch, dtype=self.dtype)(x_kv)
         drop = nn.Dropout(self.dropout, deterministic=not train)
         o = _attention(q, k, v, self.num_heads, pad_mask, drop)
-        return nn.Dense(out_ch)(o)
+        return nn.Dense(out_ch, dtype=self.dtype)(o)
 
 
 class PerceiverMLP(nn.Module):
@@ -52,13 +53,14 @@ class PerceiverMLP(nn.Module):
 
     num_channels: int
     widening_factor: int = 1
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
-        h = nn.LayerNorm()(x)
-        h = nn.Dense(self.widening_factor * self.num_channels)(h)
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
+        h = nn.Dense(self.widening_factor * self.num_channels, dtype=self.dtype)(h)
         h = nn.gelu(h)
-        return nn.Dense(self.num_channels)(h)
+        return nn.Dense(self.num_channels, dtype=self.dtype)(h)
 
 
 class CrossAttentionLayer(nn.Module):
@@ -71,18 +73,24 @@ class CrossAttentionLayer(nn.Module):
     widening_factor: int = 1
     dropout: float = 0.0
     residual_dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x_q, x_kv, pad_mask=None, *, train: bool = False):
+        x_q = x_q.astype(self.dtype)
         rdrop = nn.Dropout(self.residual_dropout, deterministic=not train)
         attn = PerceiverMHA(
             num_heads=self.num_heads,
             num_q_input_channels=self.num_q_input_channels,
             num_kv_input_channels=self.num_kv_input_channels,
             dropout=self.dropout,
-        )(nn.LayerNorm()(x_q), nn.LayerNorm()(x_kv), pad_mask, train=train)
+            dtype=self.dtype,
+        )(nn.LayerNorm(dtype=jnp.float32)(x_q).astype(self.dtype),
+          nn.LayerNorm(dtype=jnp.float32)(x_kv).astype(self.dtype),
+          pad_mask, train=train)
         x = x_q + rdrop(attn)
-        x = x + rdrop(PerceiverMLP(self.num_q_input_channels, self.widening_factor)(x))
+        x = x + rdrop(PerceiverMLP(self.num_q_input_channels, self.widening_factor,
+                                   dtype=self.dtype)(x))
         return x
 
 
@@ -95,19 +103,23 @@ class SelfAttentionLayer(nn.Module):
     widening_factor: int = 1
     dropout: float = 0.0
     residual_dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask=None, *, train: bool = False):
+        x = x.astype(self.dtype)
         rdrop = nn.Dropout(self.residual_dropout, deterministic=not train)
-        h = nn.LayerNorm()(x)
+        h = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
         attn = PerceiverMHA(
             num_heads=self.num_heads,
             num_q_input_channels=self.num_channels,
             num_kv_input_channels=self.num_channels,
             dropout=self.dropout,
+            dtype=self.dtype,
         )(h, h, pad_mask, train=train)
         x = x + rdrop(attn)
-        x = x + rdrop(PerceiverMLP(self.num_channels, self.widening_factor)(x))
+        x = x + rdrop(PerceiverMLP(self.num_channels, self.widening_factor,
+                                   dtype=self.dtype)(x))
         return x
 
 
@@ -120,6 +132,7 @@ class SelfAttentionBlock(nn.Module):
     widening_factor: int = 1
     dropout: float = 0.0
     residual_dropout: float = 0.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, pad_mask=None, *, train: bool = False):
@@ -130,5 +143,6 @@ class SelfAttentionBlock(nn.Module):
                 widening_factor=self.widening_factor,
                 dropout=self.dropout,
                 residual_dropout=self.residual_dropout,
+                dtype=self.dtype,
             )(x, pad_mask, train=train)
         return x

@@ -21,7 +21,7 @@ a documented deviation flag.
 """
 from __future__ import annotations
 
-from typing import List, Optional, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -43,19 +43,27 @@ def bgather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 class PointNorm(nn.Module):
-    """Per-channel normalization over all non-feature axes."""
+    """Per-channel normalization over all non-feature axes.
+
+    Stats/affine always compute in float32 (bf16 accumulation over the
+    millions of (B, N, K) positions would lose precision); the result is
+    cast back to ``dtype``."""
 
     kind: str = "batch"  # 'batch' | 'layer'
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, *, train: bool = False) -> jnp.ndarray:
         if self.kind == "batch":
-            return nn.BatchNorm(
-                use_running_average=not train, momentum=0.9, epsilon=1e-5
+            y = nn.BatchNorm(
+                use_running_average=not train, momentum=0.9, epsilon=1e-5,
+                dtype=jnp.float32,
             )(x)
-        if self.kind == "layer":
-            return nn.LayerNorm()(x)
-        raise ValueError(self.kind)
+        elif self.kind == "layer":
+            y = nn.LayerNorm(dtype=jnp.float32)(x)
+        else:
+            raise ValueError(self.kind)
+        return y.astype(self.dtype)
 
 
 class PointTransformerLayer(nn.Module):
@@ -65,34 +73,41 @@ class PointTransformerLayer(nn.Module):
     out_planes: int
     share_planes: int = 8
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, p, x, knn_idx, *, train: bool = False):
         C, s = self.out_planes, self.share_planes
         B, N, K = knn_idx.shape
+        p = p.astype(self.dtype)
+        x = x.astype(self.dtype)
 
-        x_q = nn.Dense(C)(x)
+        x_q = nn.Dense(C, dtype=self.dtype)(x)
         # xyz, k and v share neighbour indices. TPU row-gathers are
         # per-row-overhead bound (a 3-channel gather costs as much as a
         # 64-channel one), so everything is packed into ONE gather.
         packed = bgather(
-            jnp.concatenate([p, nn.Dense(C)(x), nn.Dense(C)(x)], axis=-1), knn_idx
+            jnp.concatenate(
+                [p, nn.Dense(C, dtype=self.dtype)(x), nn.Dense(C, dtype=self.dtype)(x)],
+                axis=-1,
+            ), knn_idx
         )                                                    # (B, N, K, 3+2C)
         rel = packed[..., :3] - p[:, :, None, :]             # (B, N, K, 3)
         x_k, x_v = packed[..., 3: 3 + C], packed[..., 3 + C:]
 
         # positional MLP: Dense(3) -> BN -> ReLU -> Dense(C)
-        p_r = nn.Dense(3)(rel)
-        p_r = nn.relu(PointNorm(self.norm)(p_r, train=train))
-        p_r = nn.Dense(C)(p_r)
+        p_r = nn.Dense(3, dtype=self.dtype)(rel)
+        p_r = nn.relu(PointNorm(self.norm, dtype=self.dtype)(p_r, train=train))
+        p_r = nn.Dense(C, dtype=self.dtype)(p_r)
 
         # attention-weight MLP on (k - q + p_r), shared-plane reduced
         w = x_k - x_q[:, :, None, :] + p_r
-        w = nn.relu(PointNorm(self.norm)(w, train=train))
-        w = nn.Dense(C // s)(w)
-        w = nn.relu(PointNorm(self.norm)(w, train=train))
-        w = nn.Dense(C // s)(w)
-        w = nn.softmax(w, axis=2)                           # over neighbours
+        w = nn.relu(PointNorm(self.norm, dtype=self.dtype)(w, train=train))
+        w = nn.Dense(C // s, dtype=self.dtype)(w)
+        w = nn.relu(PointNorm(self.norm, dtype=self.dtype)(w, train=train))
+        w = nn.Dense(C // s, dtype=self.dtype)(w)
+        # softmax over neighbours in f32
+        w = nn.softmax(w.astype(jnp.float32), axis=2).astype(self.dtype)
 
         # each group of `s` channel-planes shares one weight column
         agg = (x_v + p_r).reshape(B, N, K, s, C // s) * w[:, :, :, None, :]
@@ -106,19 +121,24 @@ class TransitionDown(nn.Module):
     out_planes: int
     stride: int = 1
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, parent_xyz, x, geom: LevelGeometry, *, train: bool = False):
+        x = x.astype(self.dtype)
         if self.stride == 1:
-            h = nn.Dense(self.out_planes, use_bias=False)(x)
-            return nn.relu(PointNorm(self.norm)(h, train=train))
-        new_xyz = geom.xyz
+            h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(x)
+            return nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
+        new_xyz = geom.xyz.astype(self.dtype)
         # single packed gather (see PointTransformerLayer note)
-        packed = bgather(jnp.concatenate([parent_xyz, x], axis=-1), geom.down_knn_idx)
+        packed = bgather(
+            jnp.concatenate([parent_xyz.astype(self.dtype), x], axis=-1),
+            geom.down_knn_idx,
+        )
         rel = packed[..., :3] - new_xyz[:, :, None, :]
         grouped = jnp.concatenate([rel, packed[..., 3:]], axis=-1)
-        h = nn.Dense(self.out_planes, use_bias=False)(grouped)  # (B, M, K, C)
-        h = nn.relu(PointNorm(self.norm)(h, train=train))
+        h = nn.Dense(self.out_planes, use_bias=False, dtype=self.dtype)(grouped)
+        h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
         return h.max(axis=2)
 
 
@@ -132,6 +152,7 @@ class TransitionUp(nn.Module):
 
     out_planes: int
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -142,19 +163,22 @@ class TransitionUp(nn.Module):
         *,
         train: bool = False,
     ):
+        x = x.astype(self.dtype)
         if coarse_x is None:
             C = self.out_planes
-            g = nn.relu(nn.Dense(C)(x.mean(axis=1, keepdims=True)))
+            g = nn.relu(nn.Dense(C, dtype=self.dtype)(x.mean(axis=1, keepdims=True)))
             h = jnp.concatenate([x, jnp.broadcast_to(g, x.shape[:-1] + (C,))], axis=-1)
-            h = nn.Dense(C)(h)
-            return nn.relu(PointNorm(self.norm)(h, train=train))
+            h = nn.Dense(C, dtype=self.dtype)(h)
+            return nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
 
-        a = nn.Dense(self.out_planes)(x)
-        a = nn.relu(PointNorm(self.norm)(a, train=train))
-        b = nn.Dense(self.out_planes)(coarse_x)
-        b = nn.relu(PointNorm(self.norm)(b, train=train))
+        a = nn.Dense(self.out_planes, dtype=self.dtype)(x)
+        a = nn.relu(PointNorm(self.norm, dtype=self.dtype)(a, train=train))
+        b = nn.Dense(self.out_planes, dtype=self.dtype)(coarse_x.astype(self.dtype))
+        b = nn.relu(PointNorm(self.norm, dtype=self.dtype)(b, train=train))
         gathered = bgather(b, coarse_geom.up_idx)           # (B, N_fine, 3, C)
-        b_up = jnp.einsum("bnkc,bnk->bnc", gathered, coarse_geom.up_weight)
+        b_up = jnp.einsum(
+            "bnkc,bnk->bnc", gathered, coarse_geom.up_weight.astype(self.dtype)
+        )
         return a + b_up
 
 
@@ -165,18 +189,19 @@ class PointTransformerBlock(nn.Module):
     planes: int
     share_planes: int = 8
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, p, x, knn_idx, *, train: bool = False):
+        x = x.astype(self.dtype)
         identity = x
-        h = nn.Dense(self.planes, use_bias=False)(x)
-        h = nn.relu(PointNorm(self.norm)(h, train=train))
-        h = PointTransformerLayer(self.planes, self.share_planes, self.norm)(
-            p, h, knn_idx, train=train
-        )
-        h = nn.relu(PointNorm(self.norm)(h, train=train))
-        h = nn.Dense(self.planes, use_bias=False)(h)
-        h = PointNorm(self.norm)(h, train=train)
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(x)
+        h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
+        h = PointTransformerLayer(self.planes, self.share_planes, self.norm,
+                                  dtype=self.dtype)(p, h, knn_idx, train=train)
+        h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
+        h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(h)
+        h = PointNorm(self.norm, dtype=self.dtype)(h, train=train)
         return nn.relu(h + identity)
 
 
@@ -188,14 +213,16 @@ class PointEncoderStage(nn.Module):
     stride: int
     share_planes: int = 8
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, parent_xyz, x, geom: LevelGeometry, *, train: bool = False):
-        x = TransitionDown(self.planes, self.stride, self.norm)(
+        x = TransitionDown(self.planes, self.stride, self.norm, dtype=self.dtype)(
             parent_xyz, x, geom, train=train
         )
         for _ in range(1, self.blocks):
-            x = PointTransformerBlock(self.planes, self.share_planes, self.norm)(
+            x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
+                                      dtype=self.dtype)(
                 geom.xyz, x, geom.knn_idx, train=train
             )
         return x
@@ -209,6 +236,7 @@ class PointDecoderStage(nn.Module):
     share_planes: int = 8
     norm: str = "batch"
     is_head: bool = False
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -220,12 +248,13 @@ class PointDecoderStage(nn.Module):
         *,
         train: bool = False,
     ):
-        x = TransitionUp(self.planes, self.norm)(
+        x = TransitionUp(self.planes, self.norm, dtype=self.dtype)(
             x, None if self.is_head else coarse_x,
             None if self.is_head else coarse_geom, train=train,
         )
         for _ in range(1, self.blocks):
-            x = PointTransformerBlock(self.planes, self.share_planes, self.norm)(
+            x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
+                                      dtype=self.dtype)(
                 geom.xyz, x, geom.knn_idx, train=train
             )
         return x
@@ -239,6 +268,7 @@ class PointTransformerEncoder(nn.Module):
     strides: Sequence[int]
     share_planes: int = 8
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -250,7 +280,8 @@ class PointTransformerEncoder(nn.Module):
         for i, (plane, nblocks, stride) in enumerate(
             zip(self.planes, self.blocks, self.strides)
         ):
-            x = PointEncoderStage(plane, nblocks, stride, self.share_planes, self.norm)(
+            x = PointEncoderStage(plane, nblocks, stride, self.share_planes, self.norm,
+                                  dtype=self.dtype)(
                 parent_xyz, x, levels[i], train=train
             )
             outs.append(x)
@@ -265,6 +296,7 @@ class PointTransformerDecoder(nn.Module):
     planes: Sequence[int]
     share_planes: int = 8
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -273,12 +305,14 @@ class PointTransformerDecoder(nn.Module):
     ) -> List[jnp.ndarray]:
         L = len(enc_feats)
         outs = []
-        x = PointDecoderStage(self.planes[-1], 2, self.share_planes, self.norm, is_head=True)(
+        x = PointDecoderStage(self.planes[-1], 2, self.share_planes, self.norm,
+                              is_head=True, dtype=self.dtype)(
             enc_feats[-1], levels[-1], train=train
         )
         outs.append(x)
         for i in range(L - 2, -1, -1):
-            x = PointDecoderStage(self.planes[i], 2, self.share_planes, self.norm)(
+            x = PointDecoderStage(self.planes[i], 2, self.share_planes, self.norm,
+                                  dtype=self.dtype)(
                 enc_feats[i], levels[i], coarse_x=x, coarse_geom=levels[i + 1],
                 train=train,
             )
@@ -304,6 +338,7 @@ class PointTransformerSeg(nn.Module):
     planes: Sequence[int] = SEG_PLANES
     blocks: Sequence[int] = SEG_BLOCKS
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -311,11 +346,11 @@ class PointTransformerSeg(nn.Module):
     ) -> jnp.ndarray:
         x0 = levels[0].xyz if self.c == 3 else jnp.concatenate([levels[0].xyz, feats], axis=-1)
         enc = PointTransformerEncoder(
-            self.planes, self.blocks, SEG_STRIDES, norm=self.norm, name="enc"
+            self.planes, self.blocks, SEG_STRIDES, norm=self.norm, dtype=self.dtype,
+            name="enc",
         )(levels, x0, train=train)
-        dec = PointTransformerDecoder(self.planes, norm=self.norm, name="dec")(
-            levels, enc, train=train
-        )
+        dec = PointTransformerDecoder(self.planes, norm=self.norm, dtype=self.dtype,
+                                      name="dec")(levels, enc, train=train)
         return dec[-1]  # (B, N, planes[0])
 
 
@@ -358,6 +393,7 @@ class PointTransformerEnc(nn.Module):
     planes: Sequence[int] = SEG_PLANES
     blocks: Sequence[int] = SEG_BLOCKS
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -365,6 +401,7 @@ class PointTransformerEnc(nn.Module):
     ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         x0 = levels[0].xyz if self.c == 3 else jnp.concatenate([levels[0].xyz, feats], axis=-1)
         enc = PointTransformerEncoder(
-            self.planes, self.blocks, SEG_STRIDES, norm=self.norm, name="enc"
+            self.planes, self.blocks, SEG_STRIDES, norm=self.norm, dtype=self.dtype,
+            name="enc",
         )(levels, x0, train=train)
         return levels[-1].xyz, enc[-1]  # (B, N/256, 3), (B, N/256, 512)

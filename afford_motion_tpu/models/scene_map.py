@@ -8,7 +8,7 @@ denoising scan.
 """
 from __future__ import annotations
 
-from typing import List, Sequence
+from typing import Any, List, Sequence
 
 import jax.numpy as jnp
 from flax import linen as nn
@@ -29,6 +29,7 @@ class SceneMapEncoder(nn.Module):
     planes: Sequence[int] = (32, 64, 128, 256)
     blocks: Sequence[int] = (2, 2, 2, 2)
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -36,7 +37,8 @@ class SceneMapEncoder(nn.Module):
     ) -> jnp.ndarray:
         x0 = jnp.concatenate([levels[0].xyz, point_feats], axis=-1)
         enc = PointTransformerEncoder(
-            self.planes, self.blocks, SCENEMAP_STRIDES, norm=self.norm, name="enc"
+            self.planes, self.blocks, SCENEMAP_STRIDES, norm=self.norm,
+            dtype=self.dtype, name="enc",
         )(levels, x0, train=train)
         return enc[-1]
 
@@ -48,6 +50,7 @@ class SceneMapEncoderDecoder(nn.Module):
     planes: Sequence[int] = (32, 64, 128, 256)
     blocks: Sequence[int] = (2, 2, 2, 2)
     norm: str = "batch"
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(
@@ -55,11 +58,11 @@ class SceneMapEncoderDecoder(nn.Module):
     ) -> List[jnp.ndarray]:
         x0 = jnp.concatenate([levels[0].xyz, point_feats], axis=-1)
         enc = PointTransformerEncoder(
-            self.planes, self.blocks, SCENEMAP_STRIDES, norm=self.norm, name="enc"
+            self.planes, self.blocks, SCENEMAP_STRIDES, norm=self.norm,
+            dtype=self.dtype, name="enc",
         )(levels, x0, train=train)
-        dec = PointTransformerDecoder(self.planes, norm=self.norm, name="dec")(
-            levels, enc, train=train
-        )
+        dec = PointTransformerDecoder(self.planes, norm=self.norm, dtype=self.dtype,
+                                      name="dec")(levels, enc, train=train)
         return dec  # [coarsest, ..., finest]
 
 

@@ -26,6 +26,9 @@ WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 # 1 = feed the precomputed rigid-invariant geometry cache (the production
 # data path: prepare.py geometry); 0 = build FPS/kNN in-step.
 GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 1))
+# computation dtype (bfloat16 = the shipped mixed-precision recipe:
+# f32 params/norms/softmax/head, bf16 activations)
+DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 
 
 def main() -> None:
@@ -43,7 +46,7 @@ def main() -> None:
         motion_dim=263, latent_dim=512, time_emb_dim=512, text_feat_dim=512,
         contact_dim=6, planes=(32, 64, 128, 256), blocks=(2, 2, 2, 2),
         arch="trans_enc", num_layers=(1, 1, 1, 1, 1), num_heads=8,
-        dim_feedforward=1024,
+        dim_feedforward=1024, dtype=jnp.dtype(DTYPE),
     )
     diffusion = create_gaussian_diffusion(DictConfig({
         "predict_xstart": True, "steps": 1000, "noise_schedule": "cosine",
