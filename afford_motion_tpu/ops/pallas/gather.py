@@ -33,18 +33,28 @@ def _pick_tile(m: int, max_tile: int = 256) -> int:
     return t
 
 
-def _gather_kernel(K: int, T: int, idx_ref, x_ref, o_ref):
-    """idx (T, K) SMEM; x (N, C) VMEM; out (T*K, C) VMEM."""
+def _gather_kernel(K: int, T: int, U: int, idx_ref, x_ref, o_ref):
+    """idx (T, K) SMEM; x (N, C) VMEM; out (T*K, C) VMEM.
 
-    def body(i, _):
-        def inner(k, _):
-            j = idx_ref[i, k]
-            o_ref[pl.ds(i * K + k, 1), :] = x_ref[pl.ds(j, 1), :]
-            return 0
+    The copy loop is issue-rate bound on the scalar core; manually
+    unrolling U tile-rows per iteration (Mosaic's fori_loop only supports
+    full or no unroll) measured 11.5 -> 10.1 ms on the 2M-row L0 gather.
+    Output rows are distinct, so unrolling is hazard-free (unlike the
+    scatter's read-modify-write, which measured no gain)."""
 
-        return lax.fori_loop(0, K, inner, 0, unroll=True)
+    def body(iu, _):
+        for du in range(U):
+            i = iu * U + du
 
-    lax.fori_loop(0, T, body, 0)
+            def inner(k, _, i=i):
+                j = idx_ref[i, k]
+                o_ref[pl.ds(i * K + k, 1), :] = x_ref[pl.ds(j, 1), :]
+                return 0
+
+            lax.fori_loop(0, K, inner, 0, unroll=True)
+        return 0
+
+    lax.fori_loop(0, T // U, body, 0)
 
 
 def _scatter_kernel(K: int, T: int, idx_ref, g_ref, o_ref):
@@ -69,9 +79,11 @@ def _scatter_kernel(K: int, T: int, idx_ref, g_ref, o_ref):
 def _gather_fwd_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     B, N, C = x.shape
     _, M, K = idx.shape
-    T = _pick_tile(M)
+    # cap the (T*K, C) output block so its double-buffered VMEM stays small
+    T = _pick_tile(M, max_tile=max(1, 4096 // K))
+    U = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     call = pl.pallas_call(
-        functools.partial(_gather_kernel, K, T),
+        functools.partial(_gather_kernel, K, T, U),
         grid=(M // T,),
         out_shape=jax.ShapeDtypeStruct((M * K, C), x.dtype),
         in_specs=[
