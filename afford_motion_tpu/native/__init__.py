@@ -75,6 +75,13 @@ def _load_lib() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.POINTER(ctypes.c_char_p), ctypes.c_char_p,
             i64p, i32p, i32p, i64p, i64p, ctypes.c_int]
         lib.am_batch_header.restype = ctypes.c_int
+        lib.am_npy_header_at.argtypes = [
+            ctypes.c_char_p, ctypes.c_int64, ctypes.c_char_p, i64p, i32p,
+            i32p, i64p, i64p]
+        lib.am_npy_header_at.restype = ctypes.c_int
+        lib.am_npz_index.argtypes = [
+            ctypes.c_char_p, ctypes.c_char_p, i64p, ctypes.c_int]
+        lib.am_npz_index.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -88,7 +95,7 @@ def _default_threads(n: int) -> int:
     return max(1, min(n, max(4, (os.cpu_count() or 1) * 2), 16))
 
 
-def _header(lib, path: str):
+def _header(lib, path: str, base: int = 0):
     """-> (dtype, shape, data_offset) or None if the fast path can't serve."""
     descr = ctypes.create_string_buffer(16)
     shape = (ctypes.c_int64 * 8)()
@@ -96,9 +103,9 @@ def _header(lib, path: str):
     fortran = ctypes.c_int32()
     off = ctypes.c_int64()
     nbytes = ctypes.c_int64()
-    rc = lib.am_npy_header(
-        path.encode(), descr, shape, ctypes.byref(ndim), ctypes.byref(fortran),
-        ctypes.byref(off), ctypes.byref(nbytes))
+    rc = lib.am_npy_header_at(
+        path.encode(), base, descr, shape, ctypes.byref(ndim),
+        ctypes.byref(fortran), ctypes.byref(off), ctypes.byref(nbytes))
     if rc != 0 or fortran.value:
         return None
     try:
@@ -133,12 +140,90 @@ def load_npy(path: str | os.PathLike) -> np.ndarray:
     return out
 
 
+class NpzView:
+    """Lazy .npz mapping over the native reader: members are read only on
+    access (np.load's NpzFile semantics, minus the zipfile/Python-parse
+    overhead — the common ``npz['dist']`` pattern reads ONE member)."""
+
+    def __init__(self, path: str, members):
+        self._path = path
+        self._members = members  # name (no .npy suffix) -> npy base offset
+
+    @property
+    def files(self):
+        return list(self._members)
+
+    def keys(self):
+        return self._members.keys()
+
+    def __contains__(self, name):
+        return name in self._members
+
+    def __iter__(self):
+        return iter(self._members)
+
+    def __len__(self):
+        return len(self._members)
+
+    def __getitem__(self, name) -> np.ndarray:
+        base = self._members[name]
+        lib = _load_lib()
+        h = _header(lib, self._path, base)
+        if h is None:
+            return np.load(self._path)[name]
+        dt, shp, off = h
+        out = np.empty(shp, dtype=dt)
+        rc = lib.am_pread_file(self._path.encode(), off, out.nbytes,
+                               out.ctypes.data_as(ctypes.c_void_p))
+        if rc != 0:
+            return np.load(self._path)[name]
+        return out
+
+    def get(self, name, default=None):
+        return self[name] if name in self._members else default
+
+    # context-manager compat with np.load(...) as f
+    def __enter__(self):
+        return self
+
+    def __exit__(self, *exc):
+        return False
+
+    def close(self):
+        pass
+
+
+def load_npz(path: str | os.PathLike):
+    """np.load for a .npz via the native zip index (fallback: np.load for
+    compressed members / parse failures)."""
+    path = os.fspath(path)
+    lib = _load_lib()
+    if lib is None:
+        return np.load(path)
+    max_n = 256
+    names = ctypes.create_string_buffer(80 * max_n)
+    offs = (ctypes.c_int64 * max_n)()
+    n = lib.am_npz_index(path.encode(), names, offs, max_n)
+    if n <= 0:
+        return np.load(path)
+    members = {}
+    for i in range(n):
+        raw = names.raw[80 * i: 80 * (i + 1)].split(b"\0", 1)[0].decode()
+        if offs[i] < 0:  # compressed member -> whole-file fallback
+            return np.load(path)
+        members[raw[:-4] if raw.endswith(".npy") else raw] = offs[i]
+    return NpzView(path, members)
+
+
 def load(path: str | os.PathLike, **kwargs):
-    """Drop-in np.load: .npy rides the native path, everything else (npz,
-    pickle, mmap_mode) goes straight to numpy."""
+    """Drop-in np.load: .npy/.npz ride the native path, everything else
+    (pickle, mmap_mode, file objects) goes straight to numpy."""
     if kwargs or not isinstance(path, (str, os.PathLike)):
         return np.load(path, **kwargs)
-    if not os.fspath(path).endswith(".npy"):
+    p = os.fspath(path)
+    if p.endswith(".npz"):
+        return load_npz(p)
+    if not p.endswith(".npy"):
         return np.load(path)
     return load_npy(path)
 

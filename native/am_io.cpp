@@ -82,11 +82,11 @@ int parse_header(const std::string& h, NpyHeader* out) {
   return 0;
 }
 
-int stat_npy(const char* path, NpyHeader* out) {
+int stat_npy_at(const char* path, int64_t base, NpyHeader* out) {
   int fd = open(path, O_RDONLY);
   if (fd < 0) return -1;
   unsigned char pre[12];
-  if (read_exact(fd, pre, 10, 0) != 0) { close(fd); return -2; }
+  if (read_exact(fd, pre, 10, base) != 0) { close(fd); return -2; }
   static const unsigned char magic[6] = {0x93, 'N', 'U', 'M', 'P', 'Y'};
   if (std::memcmp(pre, magic, 6) != 0) { close(fd); return -3; }
   int major = pre[6];
@@ -95,7 +95,7 @@ int stat_npy(const char* path, NpyHeader* out) {
     hlen = pre[8] | (pre[9] << 8);
     hstart = 10;
   } else {  // v2/v3: 4-byte little-endian header length
-    if (read_exact(fd, pre + 10, 2, 10) != 0) { close(fd); return -2; }
+    if (read_exact(fd, pre + 10, 2, base + 10) != 0) { close(fd); return -2; }
     hlen = static_cast<int64_t>(pre[8]) | (static_cast<int64_t>(pre[9]) << 8) |
            (static_cast<int64_t>(pre[10]) << 16) |
            (static_cast<int64_t>(pre[11]) << 24);
@@ -103,19 +103,32 @@ int stat_npy(const char* path, NpyHeader* out) {
   }
   if (hlen <= 0 || hlen > (1 << 20)) { close(fd); return -4; }
   std::string header(static_cast<size_t>(hlen), '\0');
-  if (read_exact(fd, header.data(), static_cast<size_t>(hlen), hstart) != 0) {
+  if (read_exact(fd, header.data(), static_cast<size_t>(hlen), base + hstart) != 0) {
     close(fd);
     return -2;
   }
   int rc = parse_header(header, out);
   if (rc == 0) {
-    out->data_offset = hstart + hlen;
+    out->data_offset = base + hstart + hlen;
     struct stat st;
     if (fstat(fd, &st) != 0) rc = -2;
     else out->data_bytes = static_cast<int64_t>(st.st_size) - out->data_offset;
   }
   close(fd);
   return rc;
+}
+
+int stat_npy(const char* path, NpyHeader* out) {
+  return stat_npy_at(path, 0, out);
+}
+
+inline uint16_t rd16(const unsigned char* p) {
+  return static_cast<uint16_t>(p[0] | (p[1] << 8));
+}
+inline uint32_t rd32(const unsigned char* p) {
+  return static_cast<uint32_t>(p[0]) | (static_cast<uint32_t>(p[1]) << 8) |
+         (static_cast<uint32_t>(p[2]) << 16) |
+         (static_cast<uint32_t>(p[3]) << 24);
 }
 
 int pread_whole(const char* path, int64_t offset, int64_t nbytes, void* out) {
@@ -129,6 +142,89 @@ int pread_whole(const char* path, int64_t offset, int64_t nbytes, void* out) {
 }  // namespace
 
 extern "C" {
+
+int am_npy_header_at(const char* path, int64_t base, char* descr,
+                     int64_t* shape, int* ndim, int* fortran,
+                     int64_t* data_offset, int64_t* data_bytes) {
+  NpyHeader h;
+  int rc = stat_npy_at(path, base, &h);
+  if (rc != 0) return rc;
+  std::memcpy(descr, h.descr, sizeof(h.descr));
+  for (int i = 0; i < h.ndim; ++i) shape[i] = h.shape[i];
+  *ndim = h.ndim;
+  *fortran = h.fortran;
+  *data_offset = h.data_offset;
+  *data_bytes = h.data_bytes;
+  return 0;
+}
+
+// Index an (uncompressed, np.savez-style) .npz: fill member names
+// (NUL-padded 80-byte slots) and the file offset where each embedded .npy
+// begins. Returns the member count, or a negative error. Members with a
+// compression method other than STORE yield offset -1 (caller falls back).
+int am_npz_index(const char* path, char* names, int64_t* npy_offsets,
+                 int max_n) {
+  int fd = open(path, O_RDONLY);
+  if (fd < 0) return -1;
+  struct stat st;
+  if (fstat(fd, &st) != 0) { close(fd); return -2; }
+  int64_t fsize = st.st_size;
+  if (fsize < 22) { close(fd); return -3; }
+
+  // find the end-of-central-directory record (PK\x05\x06) in the tail
+  int64_t tail_len = fsize < 66000 ? fsize : 66000;
+  std::string tail(static_cast<size_t>(tail_len), '\0');
+  if (read_exact(fd, tail.data(), static_cast<size_t>(tail_len),
+                 fsize - tail_len) != 0) { close(fd); return -2; }
+  int64_t eocd = -1;
+  for (int64_t i = tail_len - 22; i >= 0; --i) {
+    if (static_cast<unsigned char>(tail[i]) == 0x50 && tail[i + 1] == 0x4b &&
+        tail[i + 2] == 0x05 && tail[i + 3] == 0x06) { eocd = i; break; }
+  }
+  if (eocd < 0) { close(fd); return -3; }
+  const unsigned char* e =
+      reinterpret_cast<const unsigned char*>(tail.data()) + eocd;
+  int n_entries = rd16(e + 10);
+  int64_t cd_size = rd32(e + 12);
+  int64_t cd_off = rd32(e + 16);
+  if (n_entries > max_n || cd_size <= 0) { close(fd); return -4; }
+
+  std::string cd(static_cast<size_t>(cd_size), '\0');
+  if (read_exact(fd, cd.data(), static_cast<size_t>(cd_size), cd_off) != 0) {
+    close(fd);
+    return -2;
+  }
+  const unsigned char* p = reinterpret_cast<const unsigned char*>(cd.data());
+  const unsigned char* end = p + cd_size;
+  int count = 0;
+  while (count < n_entries && p + 46 <= end) {
+    if (!(p[0] == 0x50 && p[1] == 0x4b && p[2] == 0x01 && p[3] == 0x02)) break;
+    uint16_t method = rd16(p + 10);
+    uint16_t nlen = rd16(p + 28);
+    uint16_t xlen = rd16(p + 30);
+    uint16_t clen = rd16(p + 32);
+    uint32_t lho = rd32(p + 42);
+    if (p + 46 + nlen > end || nlen >= 80) { close(fd); return -4; }
+    std::memset(names + count * 80, 0, 80);
+    std::memcpy(names + count * 80, p + 46, nlen);
+    if (method != 0) {
+      npy_offsets[count] = -1;
+    } else {
+      unsigned char lh[30];
+      if (read_exact(fd, lh, 30, lho) != 0) { close(fd); return -2; }
+      if (!(lh[0] == 0x50 && lh[1] == 0x4b && lh[2] == 0x03 && lh[3] == 0x04)) {
+        close(fd);
+        return -4;
+      }
+      npy_offsets[count] =
+          static_cast<int64_t>(lho) + 30 + rd16(lh + 26) + rd16(lh + 28);
+    }
+    p += 46 + nlen + xlen + clen;
+    ++count;
+  }
+  close(fd);
+  return count;
+}
 
 int am_npy_header(const char* path, char* descr, int64_t* shape, int* ndim,
                   int* fortran, int64_t* data_offset, int64_t* data_bytes) {

@@ -113,3 +113,38 @@ def test_npy_v2_header(tmp_path):
         npf.write_array(f, a, version=(2, 0))
     b = nio.load_npy(str(tmp_path / "v2.npy"))
     assert np.array_equal(a, b)
+
+
+class TestNpzView:
+    def test_roundtrip_all_members(self, tmp_path):
+        rng = np.random.default_rng(0)
+        p = tmp_path / "a.npz"
+        np.savez(p, points=rng.normal(size=(128, 3)).astype(np.float32),
+                 dist=rng.normal(size=(128, 22)).astype(np.float32),
+                 mask=np.arange(10) > 4,
+                 idx=rng.integers(0, 100, size=(5,)).astype(np.int16))
+        z, ref = nio.load(str(p)), np.load(p)
+        assert sorted(z.files) == sorted(ref.files)
+        for k in ref.files:
+            assert np.array_equal(z[k], ref[k]), k
+        assert "points" in z and z.get("nope") is None
+        with nio.load(str(p)) as f:
+            f["points"]
+
+    def test_compressed_falls_back(self, tmp_path):
+        p = tmp_path / "c.npz"
+        np.savez_compressed(p, x=np.ones(100))
+        z = nio.load(str(p))
+        assert np.array_equal(z["x"], np.ones(100))
+
+    def test_missing_member_raises(self, tmp_path):
+        p = tmp_path / "a.npz"
+        np.savez(p, x=np.ones(3))
+        with pytest.raises(KeyError):
+            nio.load(str(p))["y"]
+
+    def test_not_a_zip_raises_like_numpy(self, tmp_path):
+        p = tmp_path / "junk.npz"
+        p.write_bytes(b"this is not a zip file at all")
+        with pytest.raises(Exception):
+            nio.load(str(p))["x"]
