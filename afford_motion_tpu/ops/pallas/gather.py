@@ -79,8 +79,9 @@ def _scatter_kernel(K: int, T: int, idx_ref, g_ref, o_ref):
 def _gather_fwd_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     B, N, C = x.shape
     _, M, K = idx.shape
-    # cap the (T*K, C) output block so its double-buffered VMEM stays small
-    T = _pick_tile(M, max_tile=max(1, 4096 // K))
+    # cap the (T*K, C) output block so its double-buffered VMEM stays small,
+    # and T itself so the SMEM index tile (lane-padded per row) fits 1M SMEM
+    T = _pick_tile(M, max_tile=min(512, max(1, 4096 // K)))
     U = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     call = pl.pallas_call(
         functools.partial(_gather_kernel, K, T, U),
