@@ -121,6 +121,23 @@ def compute_or_load_stats(path: str, compute_fn) -> Tuple[np.ndarray, np.ndarray
         return mean, std
 
 
+# Conditioning arrays safe to ship at half precision: point coordinates /
+# contact conditioning / cached interpolation weights. Never the diffusion
+# target "x" (loss precision) nor any info_* metadata the evaluators read.
+_HALF_WIRE_PREFIXES = ("c_pc_", "geo_")
+
+
+def _half_wire(data: Dict[str, Any]) -> Dict[str, Any]:
+    for k, v in data.items():
+        if (
+            isinstance(v, np.ndarray)
+            and v.dtype == np.float32
+            and k.startswith(_HALF_WIRE_PREFIXES)
+        ):
+            data[k] = v.astype(np.float16)
+    return data
+
+
 class BaseDataset:
     """Common surface: transforms, normalize/denormalize, get_dataloader."""
 
@@ -129,7 +146,14 @@ class BaseDataset:
 
     def _setup_transform(self, cfg: Any, phase: str) -> None:
         tlist = cfg.train_transforms if phase in ("train", "all") else cfg.test_transforms
-        self.transform = make_default_transform(tlist, cfg.get("transform_cfg", {}))
+        base = make_default_transform(tlist, cfg.get("transform_cfg", {}))
+        # half_wire: ship float conditioning at f16 — halves the host copy
+        # + host->device bytes for data that the model immediately casts to
+        # bf16 anyway. Train-phase only; eval keeps full-precision inputs.
+        if bool(cfg.get("half_wire", False)) and phase in ("train", "all"):
+            self.transform = lambda d, _b=base: _half_wire(_b(d))
+        else:
+            self.transform = base
 
     def normalize(self, x: np.ndarray) -> np.ndarray:
         return (x - self.mean) / self.std

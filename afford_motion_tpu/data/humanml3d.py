@@ -147,11 +147,17 @@ class _H3DBase(BaseDataset):
         geometry stage), H3D path scheme."""
         if not self.cfg.get("use_geometry_cache", True):
             return
+        # encoder-only SceneMap (trans_enc) never reads the 3-NN
+        # up-interpolation arrays — skip those members entirely (the lazy
+        # NpzView then never even preads them)
+        skip_up = str(self.cfg.get("geometry_arch", "")) == "trans_enc"
         for kind in ("sm", "seg"):
             f = os.path.join(self.data_dir, "H3D", f"geometry_{kind}", f"{base_name}.npz")
             if os.path.exists(f):
                 npz = nio.load(f)
                 for k in npz.files:
+                    if skip_up and kind == "sm" and ("_up_idx" in k or "_up_weight" in k):
+                        continue
                     data[k] = npz[k]
 
     def _pick_caption(self, text_list: List[Dict]) -> Dict:

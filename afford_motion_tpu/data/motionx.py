@@ -119,6 +119,8 @@ class _MotionXBase(BaseDataset):
         hierarchy build on device."""
         if not self.cfg.get("use_geometry_cache", True):
             return
+        # see humanml3d._load_geometry: trans_enc never reads up-arrays
+        skip_up = str(self.cfg.get("geometry_arch", "")) == "trans_enc"
         for kind in ("sm", "seg"):
             f = os.path.join(
                 self.data_dir, s, "contact_motion", f"geometry_{kind}", f"{i:05d}.npz"
@@ -126,6 +128,8 @@ class _MotionXBase(BaseDataset):
             if os.path.exists(f):
                 npz = nio.load(f)
                 for k in npz.files:
+                    if skip_up and kind == "sm" and ("_up_idx" in k or "_up_weight" in k):
+                        continue
                     data[k] = npz[k]
 
     def _obj_mask(self, data: Dict, s: str, i: int) -> None:

@@ -59,6 +59,13 @@ class CMDM(nn.Module):
     def needs_scenemap_hierarchy(self) -> bool:
         return True
 
+    @property
+    def needs_up_interpolation(self) -> bool:
+        """trans_enc pools encoder-only group tokens — the hierarchy's 3-NN
+        up-interpolation arrays are never read (only trans_dec's decoder
+        uses them)."""
+        return self.arch == "trans_dec"
+
     def setup(self):
         self.timestep_embedder = TimestepEmbedder(
             d_model=self.latent_dim, time_embed_dim=self.time_emb_dim, max_len=1000,

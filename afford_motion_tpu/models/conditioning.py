@@ -27,9 +27,14 @@ ARRAY_COND_KEYS = (
 
 
 def host_prepare_cond(
-    batch: Dict[str, Any], text_encoder: TextEncoder
+    batch: Dict[str, Any], text_encoder: TextEncoder,
+    drop_suffixes: Tuple[str, ...] = (),
 ) -> Tuple[np.ndarray, Dict[str, np.ndarray]]:
-    """Strings -> embeddings, drop info_* metadata. Returns (x, cond)."""
+    """Strings -> embeddings, drop info_* metadata. Returns (x, cond).
+
+    ``drop_suffixes``: geometry-cache fields the model never reads (e.g.
+    the 3-NN up-interpolation arrays for an encoder-only SceneMap) are cut
+    here so they never hit the wire."""
     cond: Dict[str, np.ndarray] = {}
     cond["text_emb"] = text_encoder.encode(batch["c_text"])[:, None, :]  # (B, 1, D)
     for key in ARRAY_COND_KEYS:
@@ -41,6 +46,8 @@ def host_prepare_cond(
     # precomputed rigid-invariant geometry (dataset geometry cache)
     for key, v in batch.items():
         if key.startswith("geo_") and isinstance(v, np.ndarray):
+            if any(key.endswith(s) for s in drop_suffixes):
+                continue
             cond[key] = v
     return batch["x"], cond
 

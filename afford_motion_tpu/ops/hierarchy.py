@@ -109,7 +109,8 @@ def _build_point_hierarchy(
     """
     assert len(strides) == len(nsamples)
     levels = []
-    parent = xyz
+    # half-precision wire inputs: FPS/kNN distance math needs f32
+    parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
     for stride, nsample in zip(strides, nsamples):
         geom = _level_geom(parent, stride, nsample, with_up)
         levels.append(geom)

@@ -46,8 +46,18 @@ def make_train_step(model, diffusion: GaussianDiffusion, sampler=None,
 
     use_importance = sampler is not None
 
+    def _as_key(rng):
+        """Accept a PRNGKey or a plain integer seed. Deriving the key from
+        an integer *inside* the jitted step avoids a per-dispatch
+        jax.random.split on the main thread — a tiny device program whose
+        round-trip is pure overhead on remote/tunneled backends."""
+        rng = jnp.asarray(rng)
+        if rng.dtype == jnp.uint32 and rng.ndim >= 1:
+            return rng
+        return jax.random.PRNGKey(rng)
+
     def train_step(state: TrainState, x, cond, rng, sampler_state=None):
-        rng_t, rng_noise, rng_drop = jax.random.split(rng, 3)
+        rng_t, rng_noise, rng_drop = jax.random.split(_as_key(rng), 3)
         B = x.shape[0]
         if use_importance:
             t, weights = sampler.sample(rng_t, B, sampler_state)
@@ -97,10 +107,12 @@ def make_train_step(model, diffusion: GaussianDiffusion, sampler=None,
     G = steps_per_dispatch
 
     def multi_step(state: TrainState, xs, conds, rng, sampler_state=None):
+        key = _as_key(rng)
+
         def body(carry, inp):
             st, sstate = carry
             i, x, cond = inp
-            sub_rng = jax.random.fold_in(rng, i)
+            sub_rng = jax.random.fold_in(key, i)
             if use_importance:
                 st, metrics, sstate = train_step(st, x, cond, sub_rng, sstate)
             else:
@@ -156,6 +168,7 @@ class TrainLoop:
         self.exp_dir = exp_dir
         self.ckpt_dir = mkdir_if_not_exists(os.path.join(exp_dir, "ckpt"))
         self.mesh = create_mesh_for_batch(int(tcfg.batch_size))
+        self._base_seed = int(seed)
         self.rng = jax.random.PRNGKey(seed)
 
         self.state = self._init_state()
@@ -232,6 +245,14 @@ class TrainLoop:
         logger.info(f"Loaded pretrained scene model from {weight}")
         return params, batch_stats
 
+    def _drop_cond_suffixes(self) -> tuple:
+        """Geometry-cache fields the model never reads. An encoder-only
+        SceneMap (CMDM trans_enc) uses no 3-NN up-interpolation, so the
+        up_idx/up_weight arrays (~20% of the wire) are cut host-side."""
+        if getattr(self.model, "needs_up_interpolation", True):
+            return ()
+        return ("_up_idx", "_up_weight")
+
     # ------------------------------------------------------------------ loop
     def run_loop(self) -> None:
         step = int(jax.device_get(self.state.step))
@@ -242,10 +263,30 @@ class TrainLoop:
 
         G = self.steps_per_dispatch
         steps_per_epoch = max(len(self.dataloader), 1)
+        drop = self._drop_cond_suffixes()
+
+        # Megabatch mode: draw ONE (G*B) batch from the loader and view it
+        # as (G, B, ...) — the collate stack is the only host copy. The
+        # grouped fallback (np.stack over G separate batches) pays a second
+        # full copy of the wire, which is decisive on a single-core host.
+        B = int(self.dataloader.batch_size)
+        n_items = len(self.dataloader.dataset)
+        mega = G > 1 and n_items >= G * B and getattr(
+            self.dataloader, "drop_last", False
+        )
+        if mega:
+            self.dataloader.batch_size = G * B
 
         def prepare(group):
-            """G host batches -> one stacked (G, B, ...) megabatch."""
-            prepared = [host_prepare_cond(b, self.text_encoder) for b in group]
+            if mega:
+                x, cond = host_prepare_cond(group, self.text_encoder, drop)
+                xs = np.asarray(x).reshape(G, B, *x.shape[1:])
+                conds = {
+                    k: np.asarray(v).reshape(G, B, *v.shape[1:])
+                    for k, v in cond.items()
+                }
+                return xs, conds
+            prepared = [host_prepare_cond(b, self.text_encoder, drop) for b in group]
             xs = np.stack([np.asarray(x) for x, _ in prepared])
             keys = prepared[0][1].keys()
             conds = {k: np.stack([c[k] for _, c in prepared]) for k in keys}
@@ -257,6 +298,9 @@ class TrainLoop:
             while True:  # continuous stream; the consumer breaks at max_steps
                 self.dataloader.set_epoch(ep)
                 for b in self.dataloader:
+                    if mega:
+                        yield b
+                        continue
                     group.append(b)
                     if len(group) == G:
                         yield group
@@ -271,8 +315,27 @@ class TrainLoop:
         profile_start = 2 * G if self.profile_steps > 0 else -1
         profile_stop = profile_start + self.profile_steps
         profiling = False
+        # AM_LOOP_TIMING=1: log a per-phase wall-time breakdown every
+        # log_every_step (pipeline diagnosis on remote/tunneled backends)
+        timing = os.environ.get("AM_LOOP_TIMING", "") == "1"
+        tm = {"wait_batch": 0.0, "dispatch": 0.0, "metrics_get": 0.0, "other": 0.0}
+        t_mark = time.time()
+
+        def mark(key):
+            nonlocal t_mark
+            now = time.time()
+            tm[key] += now - t_mark
+            t_mark = now
+
+        pf_iter = iter(prefetcher)
         try:
-            for xs, conds in prefetcher:
+            while True:
+                mark("other")
+                try:
+                    xs, conds = next(pf_iter)
+                except StopIteration:
+                    break
+                mark("wait_batch")
                 if step >= self.max_steps:
                     break
                 if profile_start >= 0 and step >= profile_start and not profiling:
@@ -285,18 +348,25 @@ class TrainLoop:
                 epoch = step // steps_per_epoch
                 if G == 1:
                     xs, conds = xs[0], jax.tree_util.tree_map(lambda a: a[0], conds)
-                self.rng, step_rng = jax.random.split(self.rng)
+                # integer seed, mixed on device inside the jitted step —
+                # deterministic across resume (function of base seed + step)
+                # and free of a per-dispatch jax.random.split round-trip
+                step_rng = np.uint32(
+                    (self._base_seed * 2654435761 + step) & 0xFFFFFFFF
+                )
                 if self._sampler is not None:
                     self.state, metrics, self._sampler_state = self.train_step(
                         self.state, xs, conds, step_rng, self._sampler_state
                     )
                 else:
                     self.state, metrics = self.train_step(self.state, xs, conds, step_rng)
+                mark("dispatch")
                 step += G
                 steps_done_window += G
 
                 if step % self.log_every_step < G:
                     m = jax.device_get(metrics)
+                    mark("metrics_get")
                     dt = time.time() - t_start
                     sps = steps_done_window / max(dt, 1e-9)
                     logger.info(
@@ -313,6 +383,16 @@ class TrainLoop:
                             "step": step,
                         }
                     )
+                    if timing:
+                        total = sum(tm.values()) or 1e-9
+                        logger.info(
+                            "loop timing | " + " | ".join(
+                                f"{k} {v:.2f}s ({100 * v / total:.0f}%)"
+                                for k, v in tm.items()
+                            )
+                        )
+                        for k in tm:
+                            tm[k] = 0.0
                     t_start = time.time()
                     steps_done_window = 0
 
