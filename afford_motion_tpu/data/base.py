@@ -150,10 +150,25 @@ class BaseDataset:
         # half_wire: ship float conditioning at f16 — halves the host copy
         # + host->device bytes for data that the model immediately casts to
         # bf16 anyway. Train-phase only; eval keeps full-precision inputs.
-        if bool(cfg.get("half_wire", False)) and phase in ("train", "all"):
+        train = phase in ("train", "all")
+        if bool(cfg.get("half_wire", False)) and train:
             self.transform = lambda d, _b=base: _half_wire(_b(d))
         else:
             self.transform = base
+        # half_wire_x: additionally ship the (normalized) diffusion target
+        # at f16; the train step upcasts to f32 before q_sample/loss. The
+        # ~5e-4 quantization is far below the diffusion noise floor. Applied
+        # by __getitem__ via _finalize (AFTER any post-transform normalize).
+        self._x16 = bool(cfg.get("half_wire_x", False)) and bool(
+            cfg.get("half_wire", False)
+        ) and train
+
+    def _finalize(self, data: Dict[str, Any]) -> Dict[str, Any]:
+        if self._x16:
+            v = data.get("x")
+            if isinstance(v, np.ndarray) and v.dtype == np.float32:
+                data["x"] = v.astype(np.float16)
+        return data
 
     def normalize(self, x: np.ndarray) -> np.ndarray:
         return (x - self.mean) / self.std

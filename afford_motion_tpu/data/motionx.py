@@ -119,7 +119,8 @@ class _MotionXBase(BaseDataset):
         hierarchy build on device."""
         if not self.cfg.get("use_geometry_cache", True):
             return
-        # see humanml3d._load_geometry: trans_enc never reads up-arrays
+        # see humanml3d._load_geometry: fps-only wire / trans_enc up-skip
+        fps_only = str(self.cfg.get("geometry_wire", "full")) == "fps"
         skip_up = str(self.cfg.get("geometry_arch", "")) == "trans_enc"
         for kind in ("sm", "seg"):
             f = os.path.join(
@@ -128,9 +129,40 @@ class _MotionXBase(BaseDataset):
             if os.path.exists(f):
                 npz = nio.load(f)
                 for k in npz.files:
+                    if fps_only and "_fps_idx" not in k:
+                        continue
                     if skip_up and kind == "sm" and ("_up_idx" in k or "_up_weight" in k):
                         continue
                     data[k] = npz[k]
+
+    # ---------------------------------------------------------------- packed
+    def _open_packed(self, contact_type: str, contact_joints) -> None:
+        """Per-set packed memmap stores (prepare.py pack) for the training
+        fast path — train-only, half_wire wire format only, and never for
+        the contacts_fur variant (packed from default contacts)."""
+        self._packed: Dict[str, Any] = {}
+        if self.phase not in ("train", "all"):
+            return
+        if not (self.cfg.get("use_packed", True) and self.cfg.get("half_wire", False)):
+            return
+        if not self.cfg.get("use_geometry_cache", True):
+            return
+        from .packed import PackedStore
+
+        for s in self.sets:
+            if s == "HumanML3D" and self.sets_config.HumanML3D.get("use_fur", False):
+                continue
+            st = PackedStore.try_open(
+                os.path.join(self.data_dir, s, "contact_motion", "packed"),
+                expect={"contact_type": contact_type,
+                        "contact_joints": list(contact_joints)},
+            )
+            if st is not None:
+                self._packed[s] = st
+
+    def _packed_row(self, s: str, i: int):
+        st = getattr(self, "_packed", {}).get(s)
+        return (st.row(f"{i:05d}") if st is not None else None), st
 
     def _obj_mask(self, data: Dict, s: str, i: int) -> None:
         if self.phase == "test":
@@ -214,6 +246,8 @@ class ContactMapDataset(_MotionXBase):
 
     def _load_datasets(self) -> None:
         self._scan_sets(filter_horizon=False)
+        if not self.use_openscene:
+            self._open_packed(self.contact_type, self.contact_joints)
 
     def _stats_path(self) -> str:
         kind = "Dist" if self.use_raw_dist else f"Cont"
@@ -242,21 +276,33 @@ class ContactMapDataset(_MotionXBase):
 
     def __getitem__(self, idx: int) -> Dict:
         s, i, scene_id, scene_trans, desc = self.all_data[self._resolve(idx)]
-        npz = nio.load(self._contact_path(s, i))
-        points = npz["points"].astype(np.float32)
-        dist = npz["dist"].astype(np.float32)
+        row, store = self._packed_row(s, i)
+        if row is not None:
+            # packed fast path: dist32 keeps the stage-1 diffusion target
+            # bit-identical to the live path
+            points3 = row["xyz16"]
+            contact = row["dist32"]
+            feat = np.zeros((points3.shape[0], 0), dtype=np.float32)
+            if self.use_color:
+                feat = (row["rgb16"].astype(np.float32) + 1) / 2.0
+        else:
+            npz = nio.load(self._contact_path(s, i))
+            points = npz["points"].astype(np.float32)
+            points3 = points[:, 0:3]
+            dist = npz["dist"].astype(np.float32)
+            feat = self._color_feat(points)
+            if self.use_openscene:
+                feat = np.concatenate(
+                    [feat, self._openscene_feat(npz, s, i, scene_id)], axis=-1
+                )
+            contact = extract_contact(dist, self.contact_type, self.contact_joints)
 
-        feat = self._color_feat(points)
-        if self.use_openscene:
-            feat = np.concatenate([feat, self._openscene_feat(npz, s, i, scene_id)], axis=-1)
-
-        contact = extract_contact(dist, self.contact_type, self.contact_joints)
         if not self.use_raw_dist:
             contact = gaussian_contact(contact, self.sigma)
 
         data = {
             "x": contact,
-            "c_pc_xyz": points[:, 0:3],
+            "c_pc_xyz": points3,
             "c_pc_feat": feat,
             "c_text": self._pick_text(desc),
             "info_set": s,
@@ -265,7 +311,14 @@ class ContactMapDataset(_MotionXBase):
             "info_scene_mesh": self._scene_mesh_path(s, scene_id),
         }
         self._obj_mask(data, s, i)
-        self._load_geometry(data, s, i)
+        if row is not None:
+            store.attach_geometry(
+                data, row,
+                str(self.cfg.get("geometry_arch", "")) == "trans_enc",
+                str(self.cfg.get("geometry_wire", "full")) == "fps",
+            )
+        else:
+            self._load_geometry(data, s, i)
         data = self.transform(data)
         data["x"] = self.normalize(data["x"]).astype(np.float32)
         return data
@@ -311,6 +364,7 @@ class ContactMotionDataset(_MotionXBase):
 
     def _load_datasets(self) -> None:
         self._scan_sets(filter_horizon=True)
+        self._open_packed(self.contact_type, self.contact_joints)
 
     def _prepare_statistics(self) -> None:
         path = os.path.join(
@@ -329,8 +383,8 @@ class ContactMotionDataset(_MotionXBase):
     def __len__(self) -> int:
         return len(self.all_data)
 
-    def _load_contact(self, s: str, i: int, dist: np.ndarray) -> np.ndarray:
-        contact = extract_contact(dist, self.contact_type, self.contact_joints)
+    def _load_contact(self, s: str, i: int, contact: np.ndarray) -> np.ndarray:
+        """``contact``: pre-extracted (P, C) per-joint distances."""
         if self.phase == "test":
             contact = nio.load(
                 os.path.join(self.contact_folder, s, "pred_contact", f"{i:05d}.npy")
@@ -345,18 +399,27 @@ class ContactMotionDataset(_MotionXBase):
 
     def __getitem__(self, idx: int) -> Dict:
         s, i, scene_id, scene_trans, desc = self.all_data[self._resolve(idx)]
-        npz = nio.load(self._contact_path(s, i))
-        points = npz["points"].astype(np.float32)
-        dist = npz["dist"].astype(np.float32)
-        motion = nio.load(self._motion_path(s, i))
-        motion = motion.reshape(motion.shape[0], -1)
-        padded, mask = pad_motion(motion, self.max_horizon)
+        row, store = self._packed_row(s, i)
+        if row is not None and "motion32" in row:
+            points3 = row["xyz16"]
+            contact = row["dist16"].astype(np.float32)
+            motion = row["motion32"][: int(row["motion_len"])]
+        else:
+            row = None
+            npz = nio.load(self._contact_path(s, i))
+            points3 = npz["points"].astype(np.float32)[:, 0:3]
+            contact = extract_contact(
+                npz["dist"].astype(np.float32), self.contact_type, self.contact_joints
+            )
+            motion = nio.load(self._motion_path(s, i))
+            motion = motion.reshape(motion.shape[0], -1)
+        padded, mask = pad_motion(np.asarray(motion), self.max_horizon)
 
         data = {
             "x": padded,
             "x_mask": mask,
-            "c_pc_xyz": points[:, 0:3],
-            "c_pc_contact": self._load_contact(s, i, dist),
+            "c_pc_xyz": points3,
+            "c_pc_contact": self._load_contact(s, i, contact),
             "c_text": self._pick_text(desc),
             "info_set": s,
             "info_index": i,
@@ -364,10 +427,17 @@ class ContactMotionDataset(_MotionXBase):
             "info_scene_mesh": self._scene_mesh_path(s, scene_id),
         }
         self._obj_mask(data, s, i)
-        self._load_geometry(data, s, i)
+        if row is not None:
+            store.attach_geometry(
+                data, row,
+                str(self.cfg.get("geometry_arch", "")) == "trans_enc",
+                str(self.cfg.get("geometry_wire", "full")) == "fps",
+            )
+        else:
+            self._load_geometry(data, s, i)
         data = self.transform(data)
         data["x"] = self.normalize(data["x"]).astype(np.float32)
-        return data
+        return self._finalize(data)
 
 
 # --------------------------------------------------------------- examples
@@ -458,8 +528,9 @@ class ContactMotionExampleOriginDataset(ContactMotionDataset):
                 self.all_data.append((s, index, scene_id, scene_trans, desc))
         self.indices = None
 
-    def _load_contact(self, s, i, dist):
-        contact = extract_contact(dist, self.contact_type, self.contact_joints)
+    def _load_contact(self, s, i, contact):
+        """``contact``: pre-extracted (P, C) distances — ground truth only,
+        no pred_contact overrides."""
         if not self.use_raw_dist:
             contact = gaussian_contact(contact, self.sigma)
         return contact.astype(np.float32)

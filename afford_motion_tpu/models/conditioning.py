@@ -12,7 +12,11 @@ from typing import Any, Dict, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from ..ops.hierarchy import build_point_hierarchy, geometry_from_arrays
+from ..ops.hierarchy import (
+    build_point_hierarchy,
+    build_point_hierarchy_from_fps,
+    geometry_from_arrays,
+)
 from .cdm import CDM
 from .cmdm import CMDM
 from .pointtransformer import SEG_NSAMPLES, SEG_STRIDES
@@ -61,23 +65,27 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
         return cond
     cond = dict(cond)
 
+    with_up = bool(getattr(model, "needs_up_interpolation", True))
+
+    def levels_for(prefix, strides, nsamples, up):
+        if f"{prefix}0_knn_idx" in cond:      # full geometry cache
+            return geometry_from_arrays(cond, xyz, len(strides), prefix=prefix)
+        if f"{prefix}1_fps_idx" in cond:      # fps-only wire: kNN on device
+            return build_point_hierarchy_from_fps(
+                xyz, cond, strides, nsamples, prefix=prefix, with_up=up
+            )
+        return build_point_hierarchy(xyz, strides, nsamples, with_up=up)
+
     def sm_levels():
-        if "geo_sm0_knn_idx" in cond:
-            return geometry_from_arrays(cond, xyz, len(SCENEMAP_STRIDES), prefix="geo_sm")
-        return build_point_hierarchy(xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES)
+        return levels_for("geo_sm", SCENEMAP_STRIDES, SCENEMAP_NSAMPLES, with_up)
 
     if isinstance(model, CMDM):
         cond["levels_sm"] = sm_levels()
     if isinstance(model, CDM):
         if model.needs_seg_hierarchy:
-            if "geo_seg0_knn_idx" in cond:
-                cond["levels_seg"] = geometry_from_arrays(
-                    cond, xyz, len(SEG_STRIDES), prefix="geo_seg"
-                )
-            else:
-                cond["levels_seg"] = build_point_hierarchy(
-                    xyz, SEG_STRIDES, SEG_NSAMPLES, with_up=True
-                )
+            cond["levels_seg"] = levels_for(
+                "geo_seg", SEG_STRIDES, SEG_NSAMPLES, True
+            )
         if model.needs_pt_hierarchy:
             cond["levels_pt"] = sm_levels()
     return cond

@@ -118,6 +118,50 @@ def _build_point_hierarchy(
     return levels
 
 
+def build_point_hierarchy_from_fps(
+    xyz: jnp.ndarray,
+    arrays: dict,
+    strides: Sequence[int],
+    nsamples: Sequence[int],
+    *,
+    prefix: str = "geo",
+    with_up: bool = True,
+) -> List[LevelGeometry]:
+    """Rebuild the hierarchy from cached FPS indices only, recomputing all
+    kNN / up-interpolation on device.
+
+    Rationale: FPS is the *sequential* part (the reason the offline cache
+    exists), but its indices are tiny (~5KB/item at N=8192). kNN is
+    MXU-friendly distance-matmul + top-k and cheap on device, while its
+    cached index arrays are ~60x larger than the FPS indices. On
+    bandwidth-bound input pipelines (remote TPU, modest host IO) shipping
+    only ``geo_*_fps_idx`` and recomputing kNN here is a large net win.
+    Runs under jit (called from add_hierarchies inside the train step).
+    """
+    levels = []
+    parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
+    for li, (stride, nsample) in enumerate(zip(strides, nsamples)):
+        if stride == 1:
+            lvl_xyz = parent
+            fps_idx = None
+            down_knn_idx = None
+        else:
+            fps_idx = arrays[f"{prefix}{li}_fps_idx"].astype(jnp.int32)
+            lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
+            down_knn_idx, _ = batched_knn(lvl_xyz, parent, nsample)
+        knn_idx, _ = batched_knn(lvl_xyz, lvl_xyz, nsample)
+        up_idx = up_weight = None
+        if with_up and stride != 1:
+            up_idx, up_dist = batched_knn(parent, lvl_xyz, 3)
+            up_weight = interpolation_weights(up_dist)
+        levels.append(LevelGeometry(
+            xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,
+            down_knn_idx=down_knn_idx, up_idx=up_idx, up_weight=up_weight,
+        ))
+        parent = lvl_xyz
+    return levels
+
+
 # ------------------------------------------------- rigid-invariant caching
 # Every index/weight field of the hierarchy depends only on pairwise
 # distances, so it is INVARIANT to the rigid augmentations the datasets

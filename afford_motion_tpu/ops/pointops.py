@@ -201,7 +201,17 @@ def interpolation_weights(sqrt_dist: jnp.ndarray) -> jnp.ndarray:
 # Batched wrappers -----------------------------------------------------------
 @functools.partial(jax.jit, static_argnums=(2,))
 def batched_knn(query: jnp.ndarray, support: jnp.ndarray, k: int):
-    """(B, m, 3), (B, n, 3) -> idx (B, m, k), dist (B, m, k)."""
+    """(B, m, 3), (B, n, 3) -> idx (B, m, k), dist (B, m, k).
+
+    On TPU, large aligned shapes use the fused Pallas distance+top-k kernel
+    (exact, VMEM-resident — the XLA path round-trips the full distance
+    matrix through HBM); everything else falls back to the chunked XLA
+    path."""
+    if jax.default_backend() == "tpu":
+        from .pallas import knn as pknn
+
+        if pknn.supports(query.shape[1], support.shape[1], k):
+            return pknn.knn_pallas(query, support, k)
     return jax.vmap(lambda q, s: knn(q, s, k))(query, support)
 
 

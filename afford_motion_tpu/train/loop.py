@@ -57,6 +57,8 @@ def make_train_step(model, diffusion: GaussianDiffusion, sampler=None,
         return jax.random.PRNGKey(rng)
 
     def train_step(state: TrainState, x, cond, rng, sampler_state=None):
+        # half_wire_x ships the target at f16; q_sample/loss run in f32
+        x = x.astype(jnp.float32)
         rng_t, rng_noise, rng_drop = jax.random.split(_as_key(rng), 3)
         B = x.shape[0]
         if use_importance:

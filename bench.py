@@ -24,7 +24,8 @@ NUM_POINTS = int(os.environ.get("BENCH_POINTS", 8192))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
 # 1 = feed the precomputed rigid-invariant geometry cache (the production
-# data path: prepare.py geometry); 0 = build FPS/kNN in-step.
+# data path: prepare.py geometry); 2 = fps-only wire (kNN recomputed on
+# device — the bandwidth-optimal production path); 0 = build FPS/kNN in-step.
 GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 1))
 # computation dtype (bfloat16 = the shipped mixed-precision recipe:
 # f32 params/norms/softmax/head, bf16 activations)
@@ -68,7 +69,10 @@ def main() -> None:
     if GEO_CACHE:
         from afford_motion_tpu.ops.hierarchy import geometry_to_arrays
 
-        cond.update(geometry_to_arrays(cond_h["levels_sm"], prefix="geo_sm"))
+        arrays = geometry_to_arrays(cond_h["levels_sm"], prefix="geo_sm")
+        if GEO_CACHE == 2:
+            arrays = {k: v for k, v in arrays.items() if "_fps_idx" in k}
+        cond.update(arrays)
     t0 = jnp.zeros((B,), dtype=jnp.int32)
     variables = jax.jit(
         lambda: model.init(

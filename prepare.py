@@ -126,6 +126,21 @@ def cmd_geometry(args) -> None:
     logger.info(f"wrote geometry cache to {out_dir}")
 
 
+def cmd_pack(args) -> None:
+    """Bake contacts + geometry caches into the packed memmap training
+    store (afford_motion_tpu/data/packed.py) — the host fast path that
+    removes per-epoch npz parsing / casting on 1-core hosts."""
+    from afford_motion_tpu.data.packed import pack_h3d, pack_motionx
+
+    joints = [int(j) for j in args.contact_joints.split(",") if j != ""]
+    if args.dataset == "H3D":
+        pack_h3d(args.out_dir, contact_type=args.contact_type,
+                 contact_joints=joints)
+    else:
+        pack_motionx(args.out_dir, args.dataset,
+                     contact_type=args.contact_type, contact_joints=joints)
+
+
 def cmd_split(args) -> None:
     from afford_motion_tpu.prepare.split import split_all
 
@@ -142,7 +157,7 @@ def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", choices=[
         "process", "smplx_to_vec", "process_scene", "contact_data", "geometry",
-        "split", "target_mask",
+        "pack", "split", "target_mask",
     ])
     parser.add_argument("--dataset", type=str, default="HumanML3D")
     parser.add_argument("--data_dir", type=str, default="./data/raw")
@@ -152,6 +167,8 @@ def main() -> None:
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--kind", type=str, default="sm", choices=["sm", "seg"])
     parser.add_argument("--batch_size", type=int, default=32)
+    parser.add_argument("--contact_type", type=str, default="contact_cont_joints")
+    parser.add_argument("--contact_joints", type=str, default="0,10,11,12,20,21")
     args = parser.parse_args()
     {
         "process": cmd_process,
@@ -159,6 +176,7 @@ def main() -> None:
         "process_scene": cmd_process_scene,
         "contact_data": cmd_contact_data,
         "geometry": cmd_geometry,
+        "pack": cmd_pack,
         "split": cmd_split,
         "target_mask": cmd_target_mask,
     }[args.stage](args)
