@@ -190,9 +190,13 @@ class PointTransformerBlock(nn.Module):
     share_planes: int = 8
     norm: str = "batch"
     dtype: Any = jnp.float32
+    # remat path: ``train`` must not be a call argument (flax's lifted
+    # checkpoint traces all call args), so it can be pinned here instead
+    static_train: bool = False
 
     @nn.compact
-    def __call__(self, p, x, knn_idx, *, train: bool = False):
+    def __call__(self, p, x, knn_idx, train: Optional[bool] = None):
+        train = self.static_train if train is None else train
         x = x.astype(self.dtype)
         identity = x
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(x)
@@ -220,10 +224,25 @@ class PointEncoderStage(nn.Module):
         x = TransitionDown(self.planes, self.stride, self.norm, dtype=self.dtype)(
             parent_xyz, x, geom, train=train
         )
+        import os
+
+        if os.environ.get("AM_REMAT_PT", "0") == "1":
+            # rematerialize the attention blocks: their (B, N, K, C)
+            # intermediates are recomputed in the backward pass instead of
+            # being stored to / reloaded from HBM. ``train`` rides in as a
+            # static module attribute (call args would be traced).
+            block_cls = nn.remat(PointTransformerBlock)
+            for j in range(1, self.blocks):
+                x = block_cls(self.planes, self.share_planes, self.norm,
+                              dtype=self.dtype, static_train=train,
+                              name=f"PointTransformerBlock_{j - 1}")(
+                    geom.xyz, x, geom.knn_idx
+                )
+            return x
         for _ in range(1, self.blocks):
             x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
                                       dtype=self.dtype)(
-                geom.xyz, x, geom.knn_idx, train=train
+                geom.xyz, x, geom.knn_idx, train
             )
         return x
 
