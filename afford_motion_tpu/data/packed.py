@@ -230,6 +230,14 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         return out
 
     first = load_item(bases[0])
+    # is the corpus Morton-sorted (prepare.py sort)? Recorded so the
+    # training loop can enable the banded windowed-neighborhood kernels.
+    # Checked on the full-precision source points (the f16 wire copy would
+    # tie-break differently and fail the monotonicity check).
+    from ..ops.morton import morton_codes
+
+    codes = morton_codes(np.load(contact_npz(bases[0]))["points"][:, :3])
+    is_morton = bool(np.all(codes[:-1] <= codes[1:]))
     writers = {
         k: np.lib.format.open_memmap(
             os.path.join(out_dir, k + ".npy"), mode="w+",
@@ -254,6 +262,7 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         "contact_joints": list(contact_joints),
         "bases": list(bases),
         "fields": sorted(writers.keys()),
+        "morton": is_morton,
     }
     with open(os.path.join(out_dir, META_NAME), "w") as f:
         json.dump(meta, f)

@@ -33,11 +33,19 @@ from ..ops.hierarchy import LevelGeometry
 def bgather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """Batched neighbourhood gather: x (B, N, C), idx (B, ...) -> (B, ..., C).
 
-    On TPU, 3-D (B, M, K) index gathers route to the Pallas kernel
-    (ops/pallas/gather.py — 2.4x fwd / 3.5x bwd vs the XLA gather)."""
+    On TPU, 3-D (B, M, K) index gathers route to a Pallas kernel: the
+    banded one-hot-matmul kernel on Morton-ordered windowed neighborhoods
+    (ops/pallas/banded.py — MXU work instead of a scalar-issue-bound row
+    loop), else the row-copy kernel (ops/pallas/gather.py — 2.4x fwd /
+    3.5x bwd vs the XLA gather)."""
     if idx.ndim == 3 and jax.default_backend() == "tpu":
+        from ..ops.pallas import banded
         from ..ops.pallas.gather import gather_rows
 
+        if banded.enabled() and banded.gather_supports(
+            idx.shape[1], x.shape[1], x.shape[2], idx.shape[2], x.dtype.itemsize
+        ):
+            return banded.gather_banded(x, idx.astype(jnp.int32))
         return gather_rows(x, idx.astype(jnp.int32))
     return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
 

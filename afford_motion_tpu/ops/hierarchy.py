@@ -20,6 +20,16 @@ from flax import struct
 from .pointops import batched_fps, batched_knn, interpolation_weights
 
 
+def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int):
+    """Windowed (banded) kNN on Morton-ordered data when enabled, exact
+    otherwise (ops/pallas/banded.py)."""
+    from .pallas import banded
+
+    if banded.enabled() and banded.knn_supports(query.shape[1], support.shape[1], k):
+        return banded.knn_banded(query, support, k)
+    return batched_knn(query, support, k)
+
+
 @struct.dataclass
 class LevelGeometry:
     """Geometry of one resolution level of the point hierarchy.
@@ -54,15 +64,18 @@ def _level_geom(
         down_knn_idx = None
     else:
         m = n // stride
-        fps_idx = batched_fps(parent_xyz, m)
+        # ascending order: a pure relabeling of the FPS *set* that keeps a
+        # Morton-ordered parent's spatial locality in the child level (the
+        # banded kernels' window assumption); harmless otherwise
+        fps_idx = jnp.sort(batched_fps(parent_xyz, m), axis=-1)
         xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
-        down_knn_idx, _ = batched_knn(xyz, parent_xyz, nsample)
+        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample)
 
-    knn_idx, _ = batched_knn(xyz, xyz, nsample)
+    knn_idx, _ = _knn_auto(xyz, xyz, nsample)
 
     up_idx = up_weight = None
     if with_up and stride != 1:
-        up_idx, up_dist = batched_knn(parent_xyz, xyz, 3)
+        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3)
         up_weight = interpolation_weights(up_dist)
 
     return LevelGeometry(
@@ -148,11 +161,11 @@ def build_point_hierarchy_from_fps(
         else:
             fps_idx = arrays[f"{prefix}{li}_fps_idx"].astype(jnp.int32)
             lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
-            down_knn_idx, _ = batched_knn(lvl_xyz, parent, nsample)
-        knn_idx, _ = batched_knn(lvl_xyz, lvl_xyz, nsample)
+            down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample)
+        knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample)
         up_idx = up_weight = None
         if with_up and stride != 1:
-            up_idx, up_dist = batched_knn(parent, lvl_xyz, 3)
+            up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3)
             up_weight = interpolation_weights(up_dist)
         levels.append(LevelGeometry(
             xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,

@@ -1,0 +1,265 @@
+"""Banded (windowed) neighborhood kernels for Morton-ordered clouds.
+
+With points stored in Morton order (ops/morton.py, prepare.py sort), kNN
+neighbors are index-local: ~90-95% of true 8-NN at N=8192 fall within a
++-512-row window. These kernels make the *window* the neighborhood
+definition ("windowed kNN" — the same approximation class as the default
+``approx_min_k`` kNN, documented in PARITY.md):
+
+- ``knn_banded``: per query tile, distances against a (S = T·ratio + 2W)
+  support slice instead of all N — ~6x less distance/top-k work at l0;
+- ``gather_banded``: neighborhood gather as a dense one-hot **matmul on
+  the MXU** over the window slice — replaces the scalar-issue-bound
+  row-copy loop (ops/pallas/gather.py, ~4 cycles/row, the hottest op in
+  the PointTransformer stack);
+- its VJP ``scatter_banded``: the transposed one-hot matmul, accumulated
+  into per-tile window slices and folded with static XLA adds.
+
+Because every index produced by ``knn_banded`` lies in its tile's window
+by construction, the gather/scatter pair is *exact* for those indices —
+the only approximation in the system is the windowed neighborhood itself.
+
+Enabled via ``set_enabled(True)`` (the train loop turns it on when the
+packed store reports Morton-sorted data and geometry ships as fps-only).
+"""
+from __future__ import annotations
+
+import functools
+from typing import List, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_ENABLED = False
+
+
+def set_enabled(on: bool) -> None:
+    global _ENABLED
+    _ENABLED = bool(on)
+
+
+def enabled() -> bool:
+    return _ENABLED and jax.default_backend() == "tpu"
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+TQ = 128  # query rows per tile (all level sizes are multiples of 128)
+
+
+def window_width(n_support: int) -> int:
+    """W policy: scale with support size, clamped, multiple of 128."""
+    return max(128, min(1024, (n_support // 16) // 128 * 128))
+
+
+def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
+    """Static per-tile window starts + window size S for M query rows over
+    N support rows. Window center tracks the proportional position
+    (Morton order is preserved across FPS levels via sorted fps_idx)."""
+    ratio = n / m
+    s = min(n, ((int(TQ * ratio) + 2 * w + 127) // 128) * 128)
+    starts = []
+    for t in range(m // TQ):
+        c = int(t * TQ * ratio) - w
+        c = max(0, min(n - s, c))
+        starts.append((c // 128) * 128)
+    return starts, s
+
+
+def knn_supports(m: int, n: int, k: int) -> bool:
+    return (
+        m % TQ == 0
+        and n % 128 == 0
+        and 256 <= n <= 8192
+        and k < 64
+    )
+
+
+def gather_supports(m: int, n: int, c: int, k: int, itemsize: int) -> bool:
+    """Banded gather/scatter applicability. Valid either when the window
+    covers the whole support (s == n: exact for any indices) or when the
+    indices came from knn_banded with the same window geometry."""
+    if m % TQ != 0 or n % 128 != 0 or n > 8192 or k >= 64:
+        return False
+    _, s = window_starts(m, n, window_width(n))
+    x_bytes = n * c * itemsize
+    onehot_bytes = TQ * k * s * itemsize
+    out_bytes = TQ * k * c * itemsize
+    return x_bytes + onehot_bytes + 2 * out_bytes <= 12 * 1024 * 1024
+
+
+# ----------------------------------------------------------------- kNN
+_IDX_BITS = 13
+_IDX_MASK = (1 << _IDX_BITS) - 1
+
+
+def _knn_kernel(k: int, s: int, starts_ref, q_ref, sT_ref, idx_ref, dist_ref):
+    """starts (G,) SMEM; q (1, TQ, 3); sT (1, 3, N); out (1, TQ, k)."""
+    t = pl.program_id(1)
+    start = pl.multiple_of(starts_ref[t], 128)
+    q = q_ref[0]                               # (TQ, 3)
+    sw = sT_ref[0, :, pl.ds(start, s)]         # (3, S) window slice
+
+    d = None
+    for c in range(3):
+        qc = q[:, c:c + 1]
+        sc = sw[c:c + 1, :]
+        tt = qc - sc
+        tt = tt * tt
+        d = tt if d is None else d + tt        # (TQ, S)
+
+    col = lax.broadcasted_iota(jnp.int32, (TQ, s), 1)
+    bits = lax.bitcast_convert_type(d, jnp.int32)
+    packed = (bits & jnp.int32(~_IDX_MASK)) | col
+    for j in range(k):
+        m = jnp.min(packed, axis=1, keepdims=True)
+        idx_ref[0, :, j] = (m & jnp.int32(_IDX_MASK))[:, 0] + start
+        dq = lax.bitcast_convert_type(m & jnp.int32(~_IDX_MASK), jnp.float32)
+        dist_ref[0, :, j] = jnp.sqrt(jnp.maximum(dq[:, 0], 0.0))
+        packed = jnp.where(packed == m, jnp.int32(0x7FFFFFFF), packed)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def knn_banded(query: jnp.ndarray, support: jnp.ndarray, k: int):
+    """(B, M, 3), (B, N, 3) -> absolute idx (B, M, k) int32, sqrt dist.
+    Neighbors restricted to each tile's Morton window."""
+    B, M, _ = query.shape
+    N = support.shape[1]
+    w = window_width(N)
+    starts, s = window_starts(M, N, w)
+    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+    q = query.astype(jnp.float32)
+    sT = jnp.transpose(support, (0, 2, 1)).astype(jnp.float32)
+
+    idx, dist = pl.pallas_call(
+        functools.partial(_knn_kernel, k, s),
+        grid=(B, M // TQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TQ, 3), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 3, N), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, TQ, k), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ, k), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, M, k), jnp.int32),
+            jax.ShapeDtypeStruct((B, M, k), jnp.float32),
+        ],
+        interpret=_interpret(),
+    )(starts_arr, q, sT)
+    return idx, dist
+
+
+# ----------------------------------------------------------- gather/scatter
+def _onehot(idx_block, start, K, s, dtype):
+    """(TQ, K) absolute indices -> (TQ*K, s) one-hot over the window.
+    Built at rank 3 then merged on the leading dims (minor dim untouched —
+    a layout-free reshape)."""
+    rel3 = idx_block - start                                # (TQ, K)
+    col3 = lax.broadcasted_iota(jnp.int32, (TQ, K, s), 2)
+    oh = (col3 == rel3[:, :, None]).astype(dtype)           # (TQ, K, s)
+    return oh.reshape(TQ * K, s)
+
+
+def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
+    """starts (G,) SMEM; idx (1, TQ, K) VMEM; x (1, N, C); o (1, TQ*K, C)."""
+    t = pl.program_id(1)
+    start = pl.multiple_of(starts_ref[t], 128)
+    xw = x_ref[0, pl.ds(start, s), :]                       # (S, C)
+    onehot = _onehot(idx_ref[0], start, K, s, xw.dtype)     # (TQ*K, S)
+    o_ref[0] = jax.lax.dot_general(
+        onehot, xw, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
+    """Transposed one-hot matmul: o (1, 1, S, C) per-tile window slice."""
+    t = pl.program_id(1)
+    start = pl.multiple_of(starts_ref[t], 128)
+    g = g_ref[0]                                            # (TQ*K, C)
+    onehot = _onehot(idx_ref[0], start, K, s, g.dtype)
+    o_ref[0, 0] = jax.lax.dot_general(
+        onehot, g, (((0,), (0,)), ((), ())),                # (S, C)
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    B, N, C = x.shape
+    _, M, K = idx.shape
+    starts, s = window_starts(M, N, window_width(N))
+    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+    out = pl.pallas_call(
+        functools.partial(_gather_kernel, K, s),
+        grid=(B, M // TQ),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TQ, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N, C), lambda b, t: (b, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TQ * K, C), lambda b, t: (b, t, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, M * K, C), x.dtype),
+        interpret=_interpret(),
+    )(starts_arr, idx, x)
+    return out.reshape(B, M, K, C)
+
+
+def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+    B, M, K, C = g.shape
+    starts, s = window_starts(M, n, window_width(n))
+    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+    G = M // TQ
+    tiles = pl.pallas_call(
+        functools.partial(_scatter_kernel, K, s),
+        grid=(B, G),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, TQ, K), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TQ * K, C), lambda b, t: (b, t, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, s, C), lambda b, t: (b, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, G, s, C), g.dtype),
+        interpret=_interpret(),
+    )(starts_arr, idx, g.reshape(B, M * K, C))
+    # fold overlapping per-tile windows with static dynamic-update adds
+    dx = jnp.zeros((B, n, C), dtype=g.dtype)
+    for t, st in enumerate(starts):
+        dx = dx.at[:, st: st + s, :].add(tiles[:, t])
+    return dx
+
+
+@jax.custom_vjp
+def gather_banded(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """(B, N, C), (B, M, K) int32 (window-local absolute indices) ->
+    (B, M, K, C). Exact for indices produced by knn_banded."""
+    return _gather_banded_impl(x, idx)
+
+
+def _gather_banded_fwd(x, idx):
+    return _gather_banded_impl(x, idx), (idx, x.shape[1])
+
+
+def _gather_banded_bwd(res, g):
+    idx, n = res
+    return _scatter_banded_impl(g, idx, n), None
+
+
+gather_banded.defvjp(_gather_banded_fwd, _gather_banded_bwd)

@@ -172,6 +172,7 @@ class TrainLoop:
         self.mesh = create_mesh_for_batch(int(tcfg.batch_size))
         self._base_seed = int(seed)
         self.rng = jax.random.PRNGKey(seed)
+        self._maybe_enable_banded()
 
         self.state = self._init_state()
         sampler_type = str(tcfg.get("schedule_sampler_type", "uniform"))
@@ -190,6 +191,31 @@ class TrainLoop:
             model, diffusion, sampler=self._sampler,
             steps_per_dispatch=self.steps_per_dispatch,
         )
+
+    def _maybe_enable_banded(self) -> None:
+        """Enable the banded windowed-neighborhood kernels when the data
+        supports them: Morton-sorted packed store(s) + fps-only geometry
+        wire (so every neighborhood index is produced on device by the
+        windowed kNN). See ops/pallas/banded.py."""
+        from ..ops.pallas import banded
+
+        ds = self.dataloader.dataset
+        dcfg = getattr(ds, "cfg", None)
+        if dcfg is None or not bool(dcfg.get("use_banded", True)):
+            return
+        if str(dcfg.get("geometry_wire", "full")) != "fps":
+            return
+        packed = getattr(ds, "_packed", None)
+        stores = (
+            list(packed.values()) if isinstance(packed, dict)
+            else ([packed] if packed is not None else [])
+        )
+        if stores and all(st.meta.get("morton") for st in stores):
+            banded.set_enabled(True)
+            logger.info(
+                "banded windowed-neighborhood kernels enabled "
+                "(Morton-sorted packed data, fps geometry wire)"
+            )
 
     # ------------------------------------------------------------------ init
     def _example_inputs(self):

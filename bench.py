@@ -23,13 +23,16 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 8192))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
-# 1 = feed the precomputed rigid-invariant geometry cache (the production
-# data path: prepare.py geometry); 2 = fps-only wire (kNN recomputed on
-# device — the bandwidth-optimal production path); 0 = build FPS/kNN in-step.
-GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 1))
+# 2 = fps-only wire, kNN recomputed on device (the SHIPPED production
+# path: configs default geometry_wire=fps); 1 = full precomputed geometry
+# cache on the wire; 0 = build FPS/kNN in-step.
+GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 2))
 # computation dtype (bfloat16 = the shipped mixed-precision recipe:
 # f32 params/norms/softmax/head, bf16 activations)
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
+# 1 = banded windowed-neighborhood kernels on Morton-sorted clouds (the
+# shipped default for Morton-sorted packed data; pairs with GEO_CACHE=2)
+BANDED = int(os.environ.get("BENCH_BANDED", 1))
 
 
 def main() -> None:
@@ -58,9 +61,16 @@ def main() -> None:
     rng = np.random.default_rng(0)
     B, N, L, D = BATCH, NUM_POINTS, 196, 263
     x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+    if BANDED:
+        from afford_motion_tpu.ops.morton import morton_order
+        from afford_motion_tpu.ops.pallas import banded
+
+        xyz = np.stack([s[morton_order(s)] for s in xyz])
+        banded.set_enabled(True)
     cond = {
         "text_emb": jnp.asarray(rng.normal(size=(B, 1, 512)).astype(np.float32)),
-        "c_pc_xyz": jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32)),
+        "c_pc_xyz": jnp.asarray(xyz),
         "c_pc_contact": jnp.asarray(rng.random(size=(B, N, 6)).astype(np.float32)),
         "x_mask": jnp.zeros((B, L), dtype=bool),
     }

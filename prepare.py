@@ -126,6 +126,46 @@ def cmd_geometry(args) -> None:
     logger.info(f"wrote geometry cache to {out_dir}")
 
 
+def cmd_sort(args) -> None:
+    """Rewrite per-item point rows (contacts npz + per-point sidecars) in
+    Morton order (ops/morton.py) so the banded TPU kernels apply. Run
+    BEFORE `geometry` and `pack` — their index caches reference row
+    positions. Idempotent."""
+    from afford_motion_tpu.ops.morton import morton_order
+
+    if args.dataset == "H3D":
+        base = os.path.join(args.out_dir, "H3D")
+        files = natsorted(glob.glob(os.path.join(base, "contacts", "*.npz")))
+        sidecars = lambda b: []
+    else:
+        base = os.path.join(args.out_dir, args.dataset, "contact_motion")
+        files = natsorted(glob.glob(os.path.join(base, "contacts", "*.npz")))
+
+        def sidecars(b):
+            return [
+                os.path.join(base, sub, b + ".npy")
+                for sub in ("target_mask", "affordance")
+            ]
+
+    for n, f in enumerate(files):
+        data = dict(np.load(f))
+        order = morton_order(np.asarray(data["points"])[:, :3])
+        npts = len(order)
+        for key, v in data.items():
+            if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == npts:
+                data[key] = v[order]
+        np.savez(f, **data)
+        b = os.path.basename(f)[: -len(".npz")]
+        for sc in sidecars(b):
+            if os.path.exists(sc):
+                v = np.load(sc)
+                if v.ndim >= 1 and v.shape[0] == npts:
+                    np.save(sc, v[order])
+        if (n + 1) % 500 == 0 or n + 1 == len(files):
+            logger.info(f"sort {n + 1}/{len(files)}")
+    logger.info(f"morton-sorted {len(files)} items under {base}")
+
+
 def cmd_pack(args) -> None:
     """Bake contacts + geometry caches into the packed memmap training
     store (afford_motion_tpu/data/packed.py) — the host fast path that
@@ -156,8 +196,8 @@ def cmd_target_mask(args) -> None:
 def main() -> None:
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", choices=[
-        "process", "smplx_to_vec", "process_scene", "contact_data", "geometry",
-        "pack", "split", "target_mask",
+        "process", "smplx_to_vec", "process_scene", "contact_data", "sort",
+        "geometry", "pack", "split", "target_mask",
     ])
     parser.add_argument("--dataset", type=str, default="HumanML3D")
     parser.add_argument("--data_dir", type=str, default="./data/raw")
@@ -176,6 +216,7 @@ def main() -> None:
         "process_scene": cmd_process_scene,
         "contact_data": cmd_contact_data,
         "geometry": cmd_geometry,
+        "sort": cmd_sort,
         "pack": cmd_pack,
         "split": cmd_split,
         "target_mask": cmd_target_mask,

@@ -126,9 +126,12 @@ def test_hierarchy_structure():
     assert levels[1].up_weight.shape == (2, 256, 3)
     np.testing.assert_allclose(np.asarray(levels[1].up_weight).sum(-1), 1.0, rtol=1e-5)
     assert levels[2].xyz.shape == (2, 16, 3)
-    # fps selection consistent with per-sample oracle
+    # fps selection = oracle SET, stored ascending (the hierarchy relabels
+    # levels in index order to preserve Morton locality for banded kernels)
     want = np_fps(np.asarray(xyz[0]), 64)
-    np.testing.assert_array_equal(np.asarray(levels[1].fps_idx[0]), want)
+    got = np.asarray(levels[1].fps_idx[0])
+    np.testing.assert_array_equal(got, np.sort(got))
+    np.testing.assert_array_equal(np.sort(got), np.sort(want))
 
 
 def test_gradients_flow_through_grouping():
