@@ -30,7 +30,7 @@ logger = get_logger()
 
 
 def make_train_step(model, diffusion: GaussianDiffusion, sampler=None,
-                    steps_per_dispatch: int = 1):
+                    steps_per_dispatch: int = 1, assemble=None):
     """Build the jitted training step. Donates the state so the optimizer
     update is in-place in HBM.
 
@@ -57,6 +57,11 @@ def make_train_step(model, diffusion: GaussianDiffusion, sampler=None,
         return jax.random.PRNGKey(rng)
 
     def train_step(state: TrainState, x, cond, rng, sampler_state=None):
+        if assemble is not None:
+            # device-store mode: ``x`` is the (B,) item-row index array and
+            # ``cond`` the small host-drawn metadata; the batch is gathered
+            # from the HBM-resident corpus right here
+            x, cond = assemble({"item_row": x, **cond})
         # half_wire_x ships the target at f16; q_sample/loss run in f32
         x = x.astype(jnp.float32)
         rng_t, rng_noise, rng_drop = jax.random.split(_as_key(rng), 3)
@@ -187,9 +192,25 @@ class TrainLoop:
         self.steps_per_dispatch = int(tcfg.get("steps_per_dispatch", 4))
         if self.steps_per_dispatch > self.max_steps:
             self.steps_per_dispatch = 1
+
+        # device-resident corpus: host streams only indices (device_store.py)
+        self._dstore = None
+        self._assemble = None
+        if (
+            str(tcfg.get("device_store", "auto")) != "off"
+            and np.asarray(self.mesh.devices).size == 1
+        ):
+            from .device_store import DeviceStore, make_assemble_fn
+
+            store = DeviceStore.try_build(self.dataloader.dataset)
+            if store is not None:
+                self._dstore = store
+                self._assemble = make_assemble_fn(store)
+
         self.train_step = make_train_step(
             model, diffusion, sampler=self._sampler,
             steps_per_dispatch=self.steps_per_dispatch,
+            assemble=self._assemble,
         )
 
     def _maybe_enable_banded(self) -> None:
@@ -302,38 +323,68 @@ class TrainLoop:
         mega = G > 1 and n_items >= G * B and getattr(
             self.dataloader, "drop_last", False
         )
-        if mega:
-            self.dataloader.batch_size = G * B
 
-        def prepare(group):
-            if mega:
-                x, cond = host_prepare_cond(group, self.text_encoder, drop)
-                xs = np.asarray(x).reshape(G, B, *x.shape[1:])
+        if self._dstore is not None:
+            # index-stream pipeline: per (G*B) megabatch the host draws
+            # caption/crop/mix metadata and ships a few KB
+            dset = self.dataloader.dataset
+            store = self._dstore
+
+            def prepare(ids):
+                meta = store.draw_batch(dset, ids)
+                texts = meta.pop("c_text")
+                emb = self.text_encoder.encode(texts)[:, None, :]
+                meta["text_emb"] = emb.astype(np.float16)
+                xs = meta.pop("item_row").reshape(G, B)
                 conds = {
-                    k: np.asarray(v).reshape(G, B, *v.shape[1:])
-                    for k, v in cond.items()
+                    k: np.asarray(v).reshape(G, B, *np.asarray(v).shape[1:])
+                    for k, v in meta.items()
                 }
                 return xs, conds
-            prepared = [host_prepare_cond(b, self.text_encoder, drop) for b in group]
-            xs = np.stack([np.asarray(x) for x, _ in prepared])
-            keys = prepared[0][1].keys()
-            conds = {k: np.stack([c[k] for _, c in prepared]) for k in keys}
-            return xs, conds
 
-        def batch_groups():
-            ep = epoch
-            group = []
-            while True:  # continuous stream; the consumer breaks at max_steps
-                self.dataloader.set_epoch(ep)
-                for b in self.dataloader:
-                    if mega:
-                        yield b
-                        continue
-                    group.append(b)
-                    if len(group) == G:
-                        yield group
-                        group = []
-                ep += 1
+            def batch_groups():
+                ep = 0
+                chunk = G * B
+                while True:
+                    order = np.random.default_rng(
+                        (self._base_seed * 977 + ep) & 0x7FFFFFFF
+                    ).permutation(n_items)
+                    for s in range(0, (n_items // chunk) * chunk, chunk):
+                        yield order[s: s + chunk]
+                    ep += 1
+        else:
+            if mega:
+                self.dataloader.batch_size = G * B
+
+            def prepare(group):
+                if mega:
+                    x, cond = host_prepare_cond(group, self.text_encoder, drop)
+                    xs = np.asarray(x).reshape(G, B, *x.shape[1:])
+                    conds = {
+                        k: np.asarray(v).reshape(G, B, *v.shape[1:])
+                        for k, v in cond.items()
+                    }
+                    return xs, conds
+                prepared = [host_prepare_cond(b, self.text_encoder, drop) for b in group]
+                xs = np.stack([np.asarray(x) for x, _ in prepared])
+                keys = prepared[0][1].keys()
+                conds = {k: np.stack([c[k] for _, c in prepared]) for k in keys}
+                return xs, conds
+
+            def batch_groups():
+                ep = epoch
+                group = []
+                while True:  # continuous stream; consumer breaks at max_steps
+                    self.dataloader.set_epoch(ep)
+                    for b in self.dataloader:
+                        if mega:
+                            yield b
+                            continue
+                        group.append(b)
+                        if len(group) == G:
+                            yield group
+                            group = []
+                    ep += 1
 
         from ..parallel.mesh import DevicePrefetcher
 
