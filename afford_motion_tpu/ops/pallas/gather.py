@@ -76,12 +76,21 @@ def _scatter_kernel(K: int, T: int, idx_ref, g_ref, o_ref):
     lax.fori_loop(0, T, body, 0)
 
 
+def fits_vmem(n: int, c: int, k: int) -> bool:
+    """The kernel keeps the full (N, C) f32 source block in VMEM (and
+    Mosaic double-buffers it); oversized sources must use the XLA path."""
+    return 2 * n * c * 4 + 2 * 128 * k * c * 4 <= 14 * 1024 * 1024
+
+
 def _gather_fwd_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     B, N, C = x.shape
     _, M, K = idx.shape
-    # cap the (T*K, C) output block so its double-buffered VMEM stays small,
-    # and T itself so the SMEM index tile (lane-padded per row) fits 1M SMEM
-    T = _pick_tile(M, max_tile=min(512, max(1, 4096 // K)))
+    # cap the (T*K, C) output block so its double-buffered VMEM footprint
+    # (plus the double-buffered (N, C) source block) stays in budget, and
+    # T itself so the SMEM index tile (lane-padded per row) fits 1M SMEM
+    vmem_left = 7 * 1024 * 1024 - N * C * 4
+    t_vmem = max(1, vmem_left // max(1, K * C * 4))
+    T = _pick_tile(M, max_tile=min(512, max(1, 4096 // K), t_vmem))
     U = 4 if T % 4 == 0 else (2 if T % 2 == 0 else 1)
     call = pl.pallas_call(
         functools.partial(_gather_kernel, K, T, U),
@@ -151,6 +160,8 @@ def gather_rows(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C), (B, M, K) int32 -> (B, M, K, C) with a Pallas forward and
     Pallas scatter-add backward. f32 natively; bf16 via cast-through-f32
     forward + f32 scatter backward (see _gather_bf16_fwd_impl)."""
+    if not fits_vmem(x.shape[1], x.shape[2], idx.shape[2]):
+        return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
     if x.dtype == jnp.float32:
         return _gather_rows_f32(x, idx)
     if x.dtype == jnp.bfloat16:

@@ -22,10 +22,17 @@ ONCE and the per-step wire drops to a few hundred bytes of indices plus a
 ``mix_train_ratio`` > 0 ships the mixed items' contact override as a
 (B, P, C) f16 operand — still ~3x less wire than full batches.
 
-Supported for the flagship stage-2 H3D dataset (ContactMotionHumanML3D)
-in train phase with trivial transforms; ``try_build`` returns None
-whenever any requirement is missing and the loop falls back to the
-packed/live host pipeline.
+Supported for stage-2 training on both dataset families:
+- ContactMotionHumanML3D (flagship t2m): trivial transforms; motions come
+  from the RAM corpus (normalized f16 — the exact wire values).
+- ContactMotionDataset (MotionX sets, ts2m/novel): the RandomRotation /
+  ApplyTransformCMDM augmentation moves ONTO THE DEVICE (host draws the
+  angle from the same np.random stream position); motions stored f32 raw
+  (they are normalized after rotation by per-channel stds that can be
+  small), padding rows normalized like the reference ((0-mean)/std).
+
+``try_build`` returns None whenever any requirement is missing and the
+loop falls back to the packed/live host pipeline.
 """
 from __future__ import annotations
 
@@ -55,8 +62,17 @@ class DeviceStore:
     # -------------------------------------------------------------- build
     @classmethod
     def try_build(cls, dataset, max_bytes: int = MAX_BYTES) -> Optional["DeviceStore"]:
-        """Build from a ContactMotionHumanML3D-style dataset. None if the
-        dataset shape/requirements don't fit (caller falls back)."""
+        """Dispatch by dataset family; None if requirements don't fit
+        (caller falls back to the host pipeline)."""
+        packed = getattr(dataset, "_packed", None)
+        if isinstance(packed, dict):
+            return cls._try_build_motionx(dataset, max_bytes)
+        return cls._try_build_h3d(dataset, max_bytes)
+
+    @classmethod
+    def _try_build_h3d(cls, dataset, max_bytes: int) -> Optional["DeviceStore"]:
+        """ContactMotionHumanML3D: motions live in the RAM corpus, scenes
+        in the packed store."""
         needed = ("name_list", "data_dict", "mean", "std", "max_horizon",
                   "unit_length", "sigma", "use_raw_dist")
         if not all(hasattr(dataset, a) for a in needed):
@@ -123,6 +139,7 @@ class DeviceStore:
         arrays = {k: jnp.asarray(v) for k, v in host.items()}
         jax.block_until_ready(list(arrays.values()))
         meta = {
+            "kind": "h3d",
             "n_items": len(names),
             "max_horizon": int(dataset.max_horizon),
             "unit_length": int(dataset.unit_length),
@@ -134,11 +151,111 @@ class DeviceStore:
         }
         return cls(arrays, meta)
 
+    @classmethod
+    def _try_build_motionx(cls, dataset, max_bytes: int) -> Optional["DeviceStore"]:
+        """ContactMotionDataset over MotionX sets: motions + scenes both
+        come from the per-set packed stores; the RandomRotation /
+        ApplyTransformCMDM augmentation moves onto the device (the host
+        draws the angle — the same np.random stream position as the
+        transform chain)."""
+        needed = ("all_data", "mean", "std", "max_horizon", "sigma",
+                  "use_raw_dist", "contact_type")
+        if not all(hasattr(dataset, a) for a in needed):
+            return None
+        if getattr(dataset, "phase", "") not in ("train", "all"):
+            return None
+        if getattr(dataset, "_x16", False) is False:
+            return None
+        stores = getattr(dataset, "_packed", None)
+        if not isinstance(stores, dict) or not stores:
+            return None
+        tlist = list(dataset.cfg.get("train_transforms", []))
+        rotate = tlist == ["RandomRotation", "ApplyTransformCMDM", "NumpyToTensor"]
+        if not rotate and any(t != "NumpyToTensor" for t in tlist):
+            return None
+        gravity_dim = int(dataset.cfg.get("transform_cfg", {}).get("gravity_dim", 2))
+        if rotate and gravity_dim != 2:
+            return None  # reference configs always use z-up
+        if str(dataset.cfg.get("geometry_wire", "full")) != "fps":
+            return None
+        for st in stores.values():
+            if not {"xyz16", "dist16", "motion32", "motion_len"} <= set(st.fields):
+                return None
+
+        # per-item rows into per-set stores, concatenated with offsets
+        sets = sorted(stores.keys())
+        offsets = {}
+        off = 0
+        for s in sets:
+            offsets[s] = off
+            off += len(stores[s].meta["bases"])
+        rows = []
+        for (s, i, *_rest) in dataset.all_data:
+            st = stores.get(s)
+            if st is None or f"{i:05d}" not in st.index:
+                return None
+            rows.append(offsets[s] + st.index[f"{i:05d}"])
+
+        L_max = max(int(stores[s].fields["motion32"].shape[1]) for s in sets)
+        D = int(stores[sets[0]].fields["motion32"].shape[2])
+        P = int(stores[sets[0]].fields["xyz16"].shape[1])
+        n_sc = off
+        # f32: raw (unnormalized) motions are later divided by per-channel
+        # stds that can be small — f16 quantization here would be amplified
+        motion = np.zeros((n_sc, L_max, D), dtype=np.float32)
+        length = np.zeros((n_sc,), dtype=np.int32)
+        host: Dict[str, np.ndarray] = {}
+        for s in sets:
+            st = stores[s]
+            a, b = offsets[s], offsets[s] + len(st.meta["bases"])
+            m = np.asarray(st.fields["motion32"])
+            motion[a:b, : m.shape[1]] = m
+            length[a:b] = np.asarray(st.fields["motion_len"])
+        host["motion32"] = motion
+        host["length"] = length
+        for f in ["xyz16", "dist16"] + [
+            k for k in stores[sets[0]].geo_keys if "_fps_idx" in k
+        ]:
+            host[f] = np.concatenate(
+                [np.asarray(stores[s].fields[f]) for s in sets], axis=0
+            )
+        host["scene_row"] = np.arange(n_sc, dtype=np.int32)  # 1:1 here
+
+        total = sum(v.nbytes for v in host.values())
+        if total > max_bytes:
+            logger.info(
+                f"device store: corpus {total / 1e9:.2f}GB exceeds the "
+                f"{max_bytes / 1e9:.1f}GB budget; using the host pipeline"
+            )
+            return None
+        logger.info(
+            f"device store: uploading {total / 1e9:.2f}GB "
+            f"({len(rows)} items over {sets}) to HBM"
+        )
+        arrays = {k: jnp.asarray(v) for k, v in host.items()}
+        jax.block_until_ready(list(arrays.values()))
+        meta = {
+            "kind": "motionx",
+            "item_store_row": np.asarray(rows, dtype=np.int32),
+            "n_items": len(rows),
+            "max_horizon": int(dataset.max_horizon),
+            "sigma": float(dataset.sigma),
+            "use_raw_dist": bool(dataset.use_raw_dist),
+            "motion_dim": D,
+            "rotate": rotate,
+            "mean": np.asarray(dataset.mean, dtype=np.float32),
+            "std": np.asarray(dataset.std, dtype=np.float32),
+            "mix": float(dataset.cfg.get("mix_train_ratio", 0.0) or 0.0) > 0,
+        }
+        return cls(arrays, meta)
+
     # ------------------------------------------------------------ host side
     def draw_batch(self, dataset, item_ids) -> Dict[str, np.ndarray]:
         """Host-side randomness for a batch of dataset item ids: caption
-        choice, crop draw, optional contact-mix override — the exact
-        semantics (and RNG streams) of the dataset's __getitem__."""
+        choice, crop/rotation draws, optional contact-mix override — the
+        exact semantics (and RNG streams) of the dataset's __getitem__."""
+        if self.meta["kind"] == "motionx":
+            return self._draw_batch_motionx(dataset, item_ids)
         B = len(item_ids)
         crop_start = np.zeros((B,), np.int32)
         crop_len = np.zeros((B,), np.int32)
@@ -185,11 +302,51 @@ class DeviceStore:
             out["mix_mask"] = mix_mask
         return out
 
+    def _draw_batch_motionx(self, dataset, item_ids) -> Dict[str, np.ndarray]:
+        B = len(item_ids)
+        captions = []
+        rows = np.zeros((B,), np.int32)
+        angle = np.zeros((B,), np.float32) if self.meta["rotate"] else None
+        mix_contact = mix_mask = None
+        if self.meta["mix"]:
+            P, C = self.arrays["dist16"].shape[1:]
+            mix_contact = np.zeros((B, P, C), np.float16)
+            mix_mask = np.zeros((B,), bool)
+        store_rows = self.meta["item_store_row"]
+        for j, idx in enumerate(item_ids):
+            resolved = dataset.indices[idx]
+            s, i, _scene_id, _trans, desc = dataset.all_data[resolved]
+            rows[j] = store_rows[resolved]
+            captions.append(dataset._pick_text(desc))
+            # np.random stream order matches the dataset chain:
+            # mix draw (inside _load_contact), then the rotation angle
+            mixed = np.random.random() < getattr(dataset, "mix_train_ratio", 0.0)
+            if mixed and mix_contact is not None:
+                f = os.path.join(
+                    dataset.data_dir, s, "pred_contact", f"{i:05d}.npy"
+                )
+                if os.path.exists(f):
+                    from .. import native as nio
+
+                    mix_contact[j] = nio.load(f).squeeze(0).astype(np.float16)
+                    mix_mask[j] = True
+            if angle is not None:
+                angle[j] = np.random.uniform(-1.0, 1.0) * np.pi
+        out: Dict[str, Any] = {"item_row": rows, "c_text": captions}
+        if angle is not None:
+            out["aug_angle"] = angle
+        if mix_contact is not None:
+            out["mix_contact"] = mix_contact
+            out["mix_mask"] = mix_mask
+        return out
+
 
 def make_assemble_fn(store: DeviceStore):
     """(index batch) -> (x, cond), executed inside the jitted train step.
     The store arrays are captured device residents — jit treats them as
     constants-by-reference (no per-step transfer)."""
+    if store.meta["kind"] == "motionx":
+        return _make_assemble_motionx(store)
     A = store.arrays
     H = store.meta["max_horizon"]
     sigma = store.meta["sigma"]
@@ -229,6 +386,73 @@ def make_assemble_fn(store: DeviceStore):
         for k, v in A.items():
             if "_fps_idx" in k:
                 cond[k] = jnp.take(v, s_rows, axis=0)
+        return x, cond
+
+    return assemble
+
+
+def _make_assemble_motionx(store: DeviceStore):
+    """MotionX ContactMotion assembly: pad + rotate (on device, host-drawn
+    angle) + normalize for x; rotate xyz; sigma kernel for contact."""
+    A = store.arrays
+    H = store.meta["max_horizon"]
+    sigma = store.meta["sigma"]
+    use_raw = store.meta["use_raw_dist"]
+    mean = jnp.asarray(store.meta["mean"], dtype=jnp.float32)
+    std = jnp.asarray(store.meta["std"], dtype=jnp.float32)
+
+    def assemble(batch: Dict[str, jnp.ndarray]):
+        rows = batch["item_row"]                               # (B,)
+        B = rows.shape[0]
+        L_max, D = A["motion32"].shape[1:]
+        lengths = jnp.take(A["length"], rows)                  # (B,)
+
+        motion = jnp.take(A["motion32"], rows, axis=0)
+        if L_max < H:
+            motion = jnp.pad(motion, ((0, 0), (0, H - L_max), (0, 0)))
+        else:
+            motion = motion[:, :H]
+        t_idx = jnp.arange(H, dtype=jnp.int32)
+        valid = t_idx[None] < lengths[:, None]                 # (B, H)
+
+        xyz = jnp.take(A["xyz16"], rows, axis=0).astype(jnp.float32)
+        if "aug_angle" in batch:
+            ang = batch["aug_angle"].astype(jnp.float32)       # (B,)
+
+            def rot_xy(pts, cc, ss):  # (..., 3) about the z (gravity) axis
+                x0, x1, x2 = pts[..., 0], pts[..., 1], pts[..., 2]
+                return jnp.stack(
+                    [cc * x0 - ss * x1, ss * x0 + cc * x1, x2], axis=-1
+                )
+
+            c = jnp.cos(ang)
+            s = jnp.sin(ang)
+            xyz = rot_xy(xyz, c[:, None], s[:, None])
+            j = motion.reshape(B, H, D // 3, 3)
+            motion = rot_xy(j, c[:, None, None], s[:, None, None]).reshape(B, H, D)
+        # normalize AFTER padding, like the reference chain — padding rows
+        # become (0 - mean)/std, not 0 (reference: motionx.py normalize
+        # after transform; the loss masks them via x_mask)
+        x = ((motion - mean[None]) / std[None]).astype(jnp.float16)
+
+        contact = jnp.take(A["dist16"], rows, axis=0).astype(jnp.float32)
+        if "mix_contact" in batch:
+            contact = jnp.where(
+                batch["mix_mask"][:, None, None],
+                batch["mix_contact"].astype(jnp.float32), contact,
+            )
+        if not use_raw:
+            contact = jnp.exp(-0.5 * contact ** 2 / sigma ** 2)
+
+        cond = {
+            "x_mask": ~valid,
+            "text_emb": batch["text_emb"],
+            "c_pc_xyz": xyz.astype(jnp.float16),
+            "c_pc_contact": contact.astype(jnp.float16),
+        }
+        for k, v in A.items():
+            if "_fps_idx" in k:
+                cond[k] = jnp.take(v, rows, axis=0)
         return x, cond
 
     return assemble

@@ -196,14 +196,15 @@ class TrainLoop:
         # device-resident corpus: host streams only indices (device_store.py)
         self._dstore = None
         self._assemble = None
-        if (
-            str(tcfg.get("device_store", "auto")) != "off"
-            and np.asarray(self.mesh.devices).size == 1
-        ):
+        if str(tcfg.get("device_store", "auto")) != "off":
             from .device_store import DeviceStore, make_assemble_fn
 
             store = DeviceStore.try_build(self.dataloader.dataset)
             if store is not None:
+                # every device holds a full copy (the budget check already
+                # ensured a copy fits one device's HBM); batch-index
+                # operands stay sharded on the data axis
+                store.arrays = replicate(store.arrays, self.mesh)
                 self._dstore = store
                 self._assemble = make_assemble_fn(store)
 

@@ -146,3 +146,99 @@ def test_train_step_with_device_store(store_env):
     new_state, m = step(state, item_row, cond_small, np.uint32(3))
     assert int(new_state.step) == 1
     assert np.isfinite(float(m["loss"]))
+
+
+@pytest.fixture(scope="module")
+def mx_store_env(tmp_path_factory):
+    from afford_motion_tpu.data.packed import pack_motionx
+    root = tmp_path_factory.mktemp("dstore_mx")
+    data_dir = make_synthetic_data_dir(str(root), n_items=6, num_points=N_POINTS)
+    import prepare as prepare_cli
+
+    prepare_cli.cmd_geometry(argparse.Namespace(
+        out_dir=data_dir, dataset="HUMANISE", kind="sm", batch_size=8))
+    pack_motionx(data_dir, "HUMANISE")
+    from tests.test_packed import _motionx_cfg
+
+    cfg = _motionx_cfg(data_dir, geometry_wire="fps", half_wire_x=True)
+    ds = create_dataset(cfg, "train")
+    assert ds._packed.get("HUMANISE") is not None
+    store = DeviceStore.try_build(ds)
+    assert store is not None and store.meta["kind"] == "motionx"
+    assert store.meta["rotate"] is True
+    return ds, store
+
+
+def test_motionx_assembled_matches_host_wire(mx_store_env):
+    ds, store = mx_store_env
+    te = _HashText()
+    assemble = make_assemble_fn(store)
+    for i in range(2):
+        random.seed(50 + i)
+        np.random.seed(60 + i)
+        item = ds[i]
+        batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else [v])
+                 for k, v in item.items()}
+        batch["c_text"] = [item["c_text"]]
+        x_ref, cond_ref = host_prepare_cond(batch, te)
+
+        random.seed(50 + i)
+        np.random.seed(60 + i)
+        meta = store.draw_batch(ds, [i])
+        texts = meta.pop("c_text")
+        meta["text_emb"] = te.encode(texts)[:, None, :].astype(np.float16)
+        item_row = meta.pop("item_row")
+        x, cond = assemble({"item_row": jnp.asarray(item_row),
+                            **{k: jnp.asarray(v) for k, v in meta.items()}})
+
+        # rotation runs in f32 on device vs f64 on host; motion store is
+        # f16-quantized raw -> tolerances instead of equality
+        np.testing.assert_allclose(
+            np.asarray(x, np.float32), x_ref.astype(np.float32), atol=6e-3
+        )
+        np.testing.assert_array_equal(np.asarray(cond["x_mask"]), cond_ref["x_mask"])
+        np.testing.assert_allclose(
+            np.asarray(cond["c_pc_xyz"], np.float32),
+            cond_ref["c_pc_xyz"].astype(np.float32), atol=6e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cond["c_pc_contact"], np.float32),
+            cond_ref["c_pc_contact"].astype(np.float32), atol=2e-2,
+        )
+        for k in cond_ref:
+            if "_fps_idx" in k:
+                np.testing.assert_array_equal(np.asarray(cond[k]), cond_ref[k])
+
+
+@pytest.mark.slow
+def test_train_cli_engages_device_store(tmp_path):
+    """train.py end to end on a packed tiny tree: the loop must build the
+    device store, train, and checkpoint."""
+    import train as train_entry
+    from afford_motion_tpu.data.packed import pack_motionx
+    import prepare as prepare_cli
+
+    data_dir = make_synthetic_data_dir(str(tmp_path / "data"), n_items=8,
+                                       num_points=N_POINTS)
+    prepare_cli.cmd_geometry(argparse.Namespace(
+        out_dir=data_dir, dataset="HUMANISE", kind="sm", batch_size=8))
+    pack_motionx(data_dir, "HUMANISE")
+    out = str(tmp_path / "out")
+    train_entry.main([
+        "task=contact_motion_gen", "model=cmdm",
+        "exp_name=dstore_e2e", f"output_dir={out}", f"exp_dir={out}/dstore_e2e",
+        f"task.dataset.data_dir={data_dir}",
+        "task.dataset.sets=['HUMANISE']",
+        "task.dataset.num_points=%d" % N_POINTS,
+        "diffusion.steps=8", "task.train.max_steps=2",
+        "task.train.batch_size=2", "task.train.save_every_step=2",
+        "model.latent_dim=64", "model.time_emb_dim=64", "model.num_heads=4",
+        "model.dim_feedforward=128", "model.num_layers=[1,1]",
+        "model.contact_model.planes=[16,32,64,128]",
+        "seed=2023",
+    ])
+    from pathlib import Path
+    ckpts = list((Path(out) / "dstore_e2e" / "ckpt").iterdir())
+    assert ckpts, "no checkpoint written"
+    log = (Path(out) / "dstore_e2e" / "log" / "runtime.log").read_text()
+    assert "device store: uploading" in log
