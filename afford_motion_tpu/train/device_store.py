@@ -22,14 +22,17 @@ ONCE and the per-step wire drops to a few hundred bytes of indices plus a
 ``mix_train_ratio`` > 0 ships the mixed items' contact override as a
 (B, P, C) f16 operand — still ~3x less wire than full batches.
 
-Supported for stage-2 training on both dataset families:
-- ContactMotionHumanML3D (flagship t2m): trivial transforms; motions come
-  from the RAM corpus (normalized f16 — the exact wire values).
-- ContactMotionDataset (MotionX sets, ts2m/novel): the RandomRotation /
+Supported for all four training families:
+- ContactMotionHumanML3D (flagship t2m stage 2): trivial transforms;
+  motions come from the RAM corpus (normalized f16 — the exact wire).
+- ContactMotionDataset (MotionX stage 2, ts2m/novel): the RandomRotation /
   ApplyTransformCMDM augmentation moves ONTO THE DEVICE (host draws the
   angle from the same np.random stream position); motions stored f32 raw
   (they are normalized after rotation by per-channel stds that can be
   small), padding rows normalized like the reference ((0-mean)/std).
+- ContactHumanML3DDataset / ContactMapDataset (stage 1): the diffusion
+  target is assembled from f32 ``dist32`` (near-exact vs the live path);
+  rgb color features and the points-only rotation ride along for MotionX.
 
 ``try_build`` returns None whenever any requirement is missing and the
 loop falls back to the packed/live host pipeline.
@@ -62,12 +65,28 @@ class DeviceStore:
     # -------------------------------------------------------------- build
     @classmethod
     def try_build(cls, dataset, max_bytes: int = MAX_BYTES) -> Optional["DeviceStore"]:
-        """Dispatch by dataset family; None if requirements don't fit
-        (caller falls back to the host pipeline)."""
-        packed = getattr(dataset, "_packed", None)
-        if isinstance(packed, dict):
-            return cls._try_build_motionx(dataset, max_bytes)
-        return cls._try_build_h3d(dataset, max_bytes)
+        """Dispatch by dataset class (exact — Example/Custom sample-mode
+        subclasses intentionally don't match); None if requirements don't
+        fit (caller falls back to the host pipeline)."""
+        builders = {
+            "ContactMotionHumanML3DDataset": cls._try_build_h3d,
+            "ContactMotionDataset": cls._try_build_motionx,
+            "ContactHumanML3DDataset": cls._try_build_h3d_contact,
+            "ContactMapDataset": cls._try_build_motionx_contact,
+        }
+        b = builders.get(type(dataset).__name__)
+        return b(dataset, max_bytes) if b else None
+
+    @staticmethod
+    def _common_gate(dataset, allowed_transforms) -> bool:
+        if getattr(dataset, "phase", "") not in ("train", "all"):
+            return False
+        tlist = list(dataset.cfg.get("train_transforms", []))
+        if tlist not in allowed_transforms:
+            return False
+        if str(dataset.cfg.get("geometry_wire", "full")) != "fps":
+            return False
+        return True
 
     @classmethod
     def _try_build_h3d(cls, dataset, max_bytes: int) -> Optional["DeviceStore"]:
@@ -256,6 +275,8 @@ class DeviceStore:
         exact semantics (and RNG streams) of the dataset's __getitem__."""
         if self.meta["kind"] == "motionx":
             return self._draw_batch_motionx(dataset, item_ids)
+        if self.meta["kind"].endswith("_contact"):
+            return _draw_batch_contact(self, dataset, item_ids)
         B = len(item_ids)
         crop_start = np.zeros((B,), np.int32)
         crop_len = np.zeros((B,), np.int32)
@@ -347,6 +368,8 @@ def make_assemble_fn(store: DeviceStore):
     constants-by-reference (no per-step transfer)."""
     if store.meta["kind"] == "motionx":
         return _make_assemble_motionx(store)
+    if store.meta["kind"].endswith("_contact"):
+        return _make_assemble_contact(store)
     A = store.arrays
     H = store.meta["max_horizon"]
     sigma = store.meta["sigma"]
@@ -456,3 +479,181 @@ def _make_assemble_motionx(store: DeviceStore):
         return x, cond
 
     return assemble
+
+
+# ----------------------------------------------------------- stage-1 (CDM)
+def _finish_contact_store(cls_, host, meta, max_bytes):
+    total = sum(v.nbytes for v in host.values())
+    if total > max_bytes:
+        logger.info(
+            f"device store: corpus {total / 1e9:.2f}GB exceeds the "
+            f"{max_bytes / 1e9:.1f}GB budget; using the host pipeline"
+        )
+        return None
+    logger.info(
+        f"device store: uploading {total / 1e9:.2f}GB "
+        f"({meta['n_items']} stage-1 items) to HBM"
+    )
+    arrays = {k: jnp.asarray(v) for k, v in host.items()}
+    jax.block_until_ready(list(arrays.values()))
+    return cls_(arrays, meta)
+
+
+def _build_h3d_contact(cls_, dataset, max_bytes):
+    """ContactHumanML3D (stage-1 t2m): x = normalize(sigma(dist32));
+    dist32 rides at f32 so the diffusion target matches the live path."""
+    packed = getattr(dataset, "_packed", None)
+    if packed is None or isinstance(packed, dict):
+        return None
+    if not DeviceStore._common_gate(dataset, [["NumpyToTensor"]]):
+        return None
+    if "dist32" not in packed.fields:
+        return None
+    names = list(dataset.name_list)
+    bases = [n.split("_")[-1] for n in names]
+    if any(b not in packed.index for b in bases):
+        return None
+    host = {
+        "scene_row": np.array([packed.index[b] for b in bases], dtype=np.int32),
+        "xyz16": np.asarray(packed.fields["xyz16"]),
+        "dist32": np.asarray(packed.fields["dist32"]),
+    }
+    for k in packed.geo_keys:
+        if "_fps_idx" in k:
+            host[k] = np.asarray(packed.fields[k])
+    meta = {
+        "kind": "h3d_contact",
+        "n_items": len(names),
+        "sigma": float(dataset.sigma),
+        "use_raw_dist": bool(dataset.use_raw_dist),
+        "rotate": False,
+        "use_color": False,
+        "mean": np.asarray(dataset.mean, dtype=np.float32),
+        "std": np.asarray(dataset.std, dtype=np.float32),
+    }
+    return _finish_contact_store(cls_, host, meta, max_bytes)
+
+
+def _build_motionx_contact(cls_, dataset, max_bytes):
+    """ContactMapDataset (stage-1 ts2m/novel): like the h3d variant plus
+    optional rgb features and the on-device rotation (points only —
+    ApplyTransformCDM never touches the contact target)."""
+    stores = getattr(dataset, "_packed", None)
+    if not isinstance(stores, dict) or not stores:
+        return None
+    allowed = [["NumpyToTensor"],
+               ["RandomRotation", "ApplyTransformCDM", "NumpyToTensor"]]
+    if not DeviceStore._common_gate(dataset, allowed):
+        return None
+    rotate = "RandomRotation" in list(dataset.cfg.get("train_transforms", []))
+    if rotate and int(dataset.cfg.get("transform_cfg", {}).get("gravity_dim", 2)) != 2:
+        return None
+    use_color = bool(getattr(dataset, "use_color", False))
+    sets = sorted(stores.keys())
+    for s in sets:
+        need = {"xyz16", "dist32"} | ({"rgb16"} if use_color else set())
+        if not need <= set(stores[s].fields):
+            return None
+    offsets, off = {}, 0
+    for s in sets:
+        offsets[s] = off
+        off += len(stores[s].meta["bases"])
+    rows = []
+    for (s, i, *_rest) in dataset.all_data:
+        st = stores.get(s)
+        if st is None or f"{i:05d}" not in st.index:
+            return None
+        rows.append(offsets[s] + st.index[f"{i:05d}"])
+    host = {"scene_row": np.arange(off, dtype=np.int32)}
+    fields = ["xyz16", "dist32"] + (["rgb16"] if use_color else []) + [
+        k for k in stores[sets[0]].geo_keys if "_fps_idx" in k
+    ]
+    for f in fields:
+        host[f] = np.concatenate(
+            [np.asarray(stores[s].fields[f]) for s in sets], axis=0
+        )
+    meta = {
+        "kind": "motionx_contact",
+        "item_store_row": np.asarray(rows, dtype=np.int32),
+        "n_items": len(rows),
+        "sigma": float(dataset.sigma),
+        "use_raw_dist": bool(dataset.use_raw_dist),
+        "rotate": rotate,
+        "use_color": use_color,
+        "mean": np.asarray(dataset.mean, dtype=np.float32),
+        "std": np.asarray(dataset.std, dtype=np.float32),
+    }
+    return _finish_contact_store(cls_, host, meta, max_bytes)
+
+
+def _draw_batch_contact(store, dataset, item_ids):
+    """Stage-1 host draws: caption choice (+ rotation angle for motionx)."""
+    B = len(item_ids)
+    captions = []
+    rows = np.zeros((B,), np.int32)
+    h3d = store.meta["kind"] == "h3d_contact"
+    angle = np.zeros((B,), np.float32) if store.meta["rotate"] else None
+    srows = store.meta.get("item_store_row")
+    for j, idx in enumerate(item_ids):
+        resolved = dataset.indices[idx]
+        if h3d:
+            name = dataset.name_list[resolved]
+            captions.append(dataset._pick_caption(dataset.data_dict[name]["text"])["caption"])
+            rows[j] = resolved
+        else:
+            s, i, _sid, _tr, desc = dataset.all_data[resolved]
+            captions.append(dataset._pick_text(desc))
+            rows[j] = srows[resolved]
+        if angle is not None:
+            angle[j] = np.random.uniform(-1.0, 1.0) * np.pi
+    out = {"item_row": rows, "c_text": captions}
+    if angle is not None:
+        out["aug_angle"] = angle
+    return out
+
+
+def _make_assemble_contact(store: DeviceStore):
+    A = store.arrays
+    sigma = store.meta["sigma"]
+    use_raw = store.meta["use_raw_dist"]
+    use_color = store.meta["use_color"]
+    h3d = store.meta["kind"] == "h3d_contact"
+    mean = jnp.asarray(store.meta["mean"], dtype=jnp.float32)
+    std = jnp.asarray(store.meta["std"], dtype=jnp.float32)
+
+    def assemble(batch: Dict[str, jnp.ndarray]):
+        rows = batch["item_row"]
+        s_rows = jnp.take(A["scene_row"], rows) if h3d else rows
+        contact = jnp.take(A["dist32"], s_rows, axis=0)
+        if not use_raw:
+            contact = jnp.exp(-0.5 * contact ** 2 / sigma ** 2)
+        x = (contact - mean) / std
+
+        xyz = jnp.take(A["xyz16"], s_rows, axis=0).astype(jnp.float32)
+        if "aug_angle" in batch:
+            ang = batch["aug_angle"].astype(jnp.float32)
+            c = jnp.cos(ang)[:, None]
+            s = jnp.sin(ang)[:, None]
+            x0, x1, x2 = xyz[..., 0], xyz[..., 1], xyz[..., 2]
+            xyz = jnp.stack([c * x0 - s * x1, s * x0 + c * x1, x2], axis=-1)
+        cond = {
+            "text_emb": batch["text_emb"],
+            "c_pc_xyz": xyz.astype(jnp.float16),
+        }
+        if not h3d:
+            if use_color:
+                feat = (jnp.take(A["rgb16"], s_rows, axis=0).astype(jnp.float32)
+                        + 1.0) / 2.0
+            else:
+                feat = jnp.zeros(xyz.shape[:-1] + (0,), dtype=jnp.float32)
+            cond["c_pc_feat"] = feat.astype(jnp.float16)
+        for k, v in A.items():
+            if "_fps_idx" in k:
+                cond[k] = jnp.take(v, s_rows, axis=0)
+        return x.astype(jnp.float32), cond
+
+    return assemble
+
+
+DeviceStore._try_build_h3d_contact = classmethod(_build_h3d_contact)
+DeviceStore._try_build_motionx_contact = classmethod(_build_motionx_contact)

@@ -242,3 +242,81 @@ def test_train_cli_engages_device_store(tmp_path):
     assert ckpts, "no checkpoint written"
     log = (Path(out) / "dstore_e2e" / "log" / "runtime.log").read_text()
     assert "device store: uploading" in log
+
+
+def test_h3d_stage1_store_matches_host(store_env):
+    ds2_cfg_dir = store_env[0].data_dir
+    cfg = _h3d_cfg(
+        ds2_cfg_dir, name="ContactHumanML3DDataset",
+        data_repr="contact_cont_joints",
+        data_repr_joints=[0, 10, 11, 12, 20, 21],
+        geometry_wire="fps", half_wire_x=True,
+    )
+    ds = create_dataset(cfg, "train")
+    store = DeviceStore.try_build(ds)
+    assert store is not None and store.meta["kind"] == "h3d_contact"
+    te = _HashText()
+    assemble = make_assemble_fn(store)
+    for i in range(2):
+        random.seed(30 + i); np.random.seed(40 + i)
+        item = ds[i]
+        batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else [v])
+                 for k, v in item.items()}
+        batch["c_text"] = [item["c_text"]]
+        x_ref, cond_ref = host_prepare_cond(batch, te)
+
+        random.seed(30 + i); np.random.seed(40 + i)
+        meta = store.draw_batch(ds, [i])
+        meta["text_emb"] = te.encode(meta.pop("c_text"))[:, None, :].astype(np.float16)
+        item_row = meta.pop("item_row")
+        x, cond = assemble({"item_row": jnp.asarray(item_row),
+                            **{k: jnp.asarray(v) for k, v in meta.items()}})
+        # f32 target through the same formula: near-exact
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=2e-6)
+        np.testing.assert_array_equal(np.asarray(cond["c_pc_xyz"]), cond_ref["c_pc_xyz"])
+        for k in cond_ref:
+            if "_fps_idx" in k:
+                np.testing.assert_array_equal(np.asarray(cond[k]), cond_ref[k])
+
+
+def test_motionx_stage1_store_matches_host(mx_store_env):
+    from tests.test_packed import _motionx_cfg
+
+    data_dir = mx_store_env[0].data_dir
+    cfg = _motionx_cfg(
+        data_dir, name="ContactMapDataset",
+        data_repr="contact_cont_joints",
+        data_repr_joints=[0, 10, 11, 12, 20, 21],
+        use_color=True, use_openscene=False, point_feat_dim=32,
+        train_transforms=["RandomRotation", "ApplyTransformCDM", "NumpyToTensor"],
+        geometry_wire="fps", half_wire_x=True,
+    )
+    ds = create_dataset(cfg, "train")
+    store = DeviceStore.try_build(ds)
+    assert store is not None and store.meta["kind"] == "motionx_contact"
+    assert store.meta["rotate"] and store.meta["use_color"]
+    te = _HashText()
+    assemble = make_assemble_fn(store)
+    for i in range(2):
+        random.seed(70 + i); np.random.seed(80 + i)
+        item = ds[i]
+        batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else [v])
+                 for k, v in item.items()}
+        batch["c_text"] = [item["c_text"]]
+        x_ref, cond_ref = host_prepare_cond(batch, te)
+
+        random.seed(70 + i); np.random.seed(80 + i)
+        meta = store.draw_batch(ds, [i])
+        meta["text_emb"] = te.encode(meta.pop("c_text"))[:, None, :].astype(np.float16)
+        item_row = meta.pop("item_row")
+        x, cond = assemble({"item_row": jnp.asarray(item_row),
+                            **{k: jnp.asarray(v) for k, v in meta.items()}})
+        np.testing.assert_allclose(np.asarray(x), x_ref, atol=2e-6)
+        np.testing.assert_allclose(
+            np.asarray(cond["c_pc_xyz"], np.float32),
+            cond_ref["c_pc_xyz"].astype(np.float32), atol=6e-3,
+        )
+        np.testing.assert_allclose(
+            np.asarray(cond["c_pc_feat"], np.float32),
+            cond_ref["c_pc_feat"].astype(np.float32), atol=2e-3,
+        )
