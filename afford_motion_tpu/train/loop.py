@@ -482,6 +482,8 @@ class TrainLoop:
             if profiling:
                 jax.profiler.stop_trace()
             prefetcher.close()
+            from ..ops.pallas import banded
+            banded.set_enabled(False)
 
         if step % self.save_every_step >= G:
             self.save(step)
