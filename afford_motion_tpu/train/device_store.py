@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import os
 import random
-from typing import Any, Dict, Optional, Tuple
+from typing import Any, Dict, Optional
 
 import numpy as np
 
