@@ -30,7 +30,7 @@ def test_train_and_load_regressor(tmp_path, monkeypatch):
         [sys.executable, "tools/train_joints_to_smplx.py",
          "--data_dir", str(tmp_path), "--sets", "HUMANISE",
          "--steps", "3", "--batch_size", "2", "--out", str(out)],
-        capture_output=True, text=True, env=env, timeout=600,
+        capture_output=True, text=True, env=env, timeout=1200,
     )
     assert res.returncode == 0, res.stderr[-2000:]
     assert out.exists()
