@@ -51,10 +51,20 @@ def _interpret() -> bool:
 
 TQ = 128  # query rows per tile (all level sizes are multiples of 128)
 
+# AM_BANDED_WINDOW overrides the W policy's l0 value (multiple of 128).
+# Smaller windows are faster but replace more true neighbors with in-window
+# ones: at N=8192, W=512 keeps ~94% of exact 8-NN, W=256 ~90%.
+import os as _os
+
+_W_CAP = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0)
+
 
 def window_width(n_support: int) -> int:
     """W policy: scale with support size, clamped, multiple of 128."""
-    return max(128, min(1024, (n_support // 16) // 128 * 128))
+    w = max(128, min(1024, (n_support // 16) // 128 * 128))
+    if _W_CAP:
+        w = max(128, min(w, (_W_CAP // 128) * 128))
+    return w
 
 
 def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
