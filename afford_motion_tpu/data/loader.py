@@ -61,6 +61,7 @@ class DataLoader:
         # item loads are I/O-bound (np.load / native preads release the GIL),
         # so torch-style num_workers maps onto a thread pool here
         self.num_workers = max(0, int(num_workers))
+        self.seed = int(seed)
         self._rng = np.random.default_rng(seed)
         self._epoch = 0
 

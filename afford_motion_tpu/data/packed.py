@@ -198,9 +198,20 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
                 break
             max_len = max(max_len, np.load(f, mmap_mode="r").shape[0])
 
+    # per-item Morton monotonicity, ANDed over the WHOLE corpus: a
+    # partially sorted corpus (interrupted `prepare.py sort`, items added
+    # after sorting) must not enable the banded windowed kernels. Checked
+    # on the full-precision source points (the f16 wire copy would
+    # tie-break differently and fail the monotonicity check).
+    from ..ops.morton import morton_codes
+
+    morton_flags: list = []
+
     def load_item(base: str) -> Dict[str, np.ndarray]:
         npz = np.load(contact_npz(base))
         pts = npz["points"].astype(np.float32)
+        codes = morton_codes(pts[:, :3])
+        morton_flags.append(bool(np.all(codes[:-1] <= codes[1:])))
         dist = extract_contact(
             npz["dist"].astype(np.float32), contact_type, contact_joints
         )
@@ -230,14 +241,6 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         return out
 
     first = load_item(bases[0])
-    # is the corpus Morton-sorted (prepare.py sort)? Recorded so the
-    # training loop can enable the banded windowed-neighborhood kernels.
-    # Checked on the full-precision source points (the f16 wire copy would
-    # tie-break differently and fail the monotonicity check).
-    from ..ops.morton import morton_codes
-
-    codes = morton_codes(np.load(contact_npz(bases[0]))["points"][:, :3])
-    is_morton = bool(np.all(codes[:-1] <= codes[1:]))
     writers = {
         k: np.lib.format.open_memmap(
             os.path.join(out_dir, k + ".npy"), mode="w+",
@@ -256,6 +259,14 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         w.flush()
         del w
 
+    is_morton = bool(morton_flags) and all(morton_flags)
+    if morton_flags and not is_morton:
+        n_bad = sum(1 for f in morton_flags if not f)
+        logger.warning(
+            f"{n_bad}/{len(morton_flags)} items are not Morton-sorted; "
+            "banded kernels will stay off for this store "
+            "(run `prepare.py sort` then re-run geometry + pack)"
+        )
     meta = {
         "version": VERSION,
         "contact_type": contact_type,

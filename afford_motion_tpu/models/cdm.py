@@ -251,6 +251,9 @@ class CDM(nn.Module):
     # computation dtype; params, the frozen scene model and the output head
     # stay float32
     dtype: Any = jnp.float32
+    # banded windowed-neighborhood kernels for point hierarchies (Morton-
+    # sorted clouds only; set by the TrainLoop — see ops/pallas/banded.py)
+    use_banded: bool = False
 
     @property
     def needs_seg_hierarchy(self) -> bool:

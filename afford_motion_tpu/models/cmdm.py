@@ -54,6 +54,10 @@ class CMDM(nn.Module):
     # computation dtype: bfloat16 halves activation HBM traffic (the
     # non-gather bound on TPU); params and the output head stay float32
     dtype: Any = jnp.float32
+    # banded windowed-neighborhood kernels for the contact-cloud hierarchy
+    # (requires Morton-sorted clouds; the TrainLoop sets this when the
+    # packed store reports Morton order — see ops/pallas/banded.py)
+    use_banded: bool = False
 
     @property
     def needs_scenemap_hierarchy(self) -> bool:
@@ -155,9 +159,17 @@ class CMDM(nn.Module):
         time_emb = self.timestep_embedder(timesteps)               # (B, 1, D)
         time_mask = jnp.zeros((B, 1), dtype=bool)
 
-        text_emb = cond["text_emb"].astype(self.dtype)             # (B, 1, Dt)
-        text_mask = jnp.zeros((B, 1), dtype=bool)
+        # (B, Lt, Dt): Lt == 1 for pooled CLIP (reference cmdm.py:134-136),
+        # Lt == max_length for per-token BERT with its pad mask
+        # (cmdm.py:138-140; True marks padding)
+        text_emb = cond["text_emb"].astype(self.dtype)
+        Lt = text_emb.shape[1]
+        if "text_token_mask" in cond:
+            text_mask = cond["text_token_mask"].astype(bool)
+        else:
+            text_mask = jnp.zeros((B, Lt), dtype=bool)
         if "c_text_mask" in cond:
+            # (B, 1) CFG drop flag broadcast over the text tokens
             text_mask = jnp.logical_or(text_mask, cond["c_text_mask"])
         if "c_text_erase" in cond:
             text_emb = text_emb * (1.0 - cond["c_text_erase"][..., None].astype(text_emb.dtype))
@@ -184,7 +196,7 @@ class CMDM(nn.Module):
                     [time_mask, text_mask, cont_mask, cond["x_mask"]], axis=1
                 )
             tokens = self.self_attn_layer(tokens, pad_mask, train=train)
-            h = tokens[:, 2 + c.shape[1]:, :]
+            h = tokens[:, 1 + Lt + c.shape[1]:, :]
         else:  # trans_dec
             tokens = jnp.concatenate([time_emb, text_emb, h], axis=1)
             tokens = self.positional_encoder(tokens, train=train)
@@ -208,7 +220,7 @@ class CMDM(nn.Module):
                         tokens, mem, tgt_pad_mask=pad_mask, mem_pad_mask=mem_mask,
                         train=train,
                     )
-            h = tokens[:, 2:, :]
+            h = tokens[:, 1 + Lt:, :]
 
         return self.motion_layer(h.astype(jnp.float32))
 

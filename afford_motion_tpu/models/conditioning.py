@@ -40,7 +40,14 @@ def host_prepare_cond(
     the 3-NN up-interpolation arrays for an encoder-only SceneMap) are cut
     here so they never hit the wire."""
     cond: Dict[str, np.ndarray] = {}
-    cond["text_emb"] = text_encoder.encode(batch["c_text"])[:, None, :]  # (B, 1, D)
+    if getattr(text_encoder, "per_token", False):
+        # BERT-for-CMDM: (B, L, D) token features + pad mask (True=padding,
+        # the reference's inverted attention mask, cmdm.py:138-140)
+        emb, pad = text_encoder.encode_tokens(batch["c_text"])
+        cond["text_emb"] = emb
+        cond["text_token_mask"] = pad
+    else:
+        cond["text_emb"] = text_encoder.encode(batch["c_text"])[:, None, :]  # (B, 1, D)
     for key in ARRAY_COND_KEYS:
         if key in batch and isinstance(batch[key], np.ndarray):
             v = batch[key]
@@ -66,15 +73,22 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
     cond = dict(cond)
 
     with_up = bool(getattr(model, "needs_up_interpolation", True))
+    # bandedness rides on the model config (TrainLoop clones the model with
+    # use_banded=True for Morton-sorted packed data); the full-geometry
+    # cache path stays exact — its indices were computed offline
+    banded = bool(getattr(model, "use_banded", False))
 
     def levels_for(prefix, strides, nsamples, up):
         if f"{prefix}0_knn_idx" in cond:      # full geometry cache
             return geometry_from_arrays(cond, xyz, len(strides), prefix=prefix)
         if f"{prefix}1_fps_idx" in cond:      # fps-only wire: kNN on device
             return build_point_hierarchy_from_fps(
-                xyz, cond, strides, nsamples, prefix=prefix, with_up=up
+                xyz, cond, strides, nsamples, prefix=prefix, with_up=up,
+                banded=banded,
             )
-        return build_point_hierarchy(xyz, strides, nsamples, with_up=up)
+        return build_point_hierarchy(
+            xyz, strides, nsamples, with_up=up, banded=banded
+        )
 
     def sm_levels():
         return levels_for("geo_sm", SCENEMAP_STRIDES, SCENEMAP_NSAMPLES, with_up)

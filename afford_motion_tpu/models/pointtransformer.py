@@ -30,22 +30,23 @@ from flax import linen as nn
 from ..ops.hierarchy import LevelGeometry
 
 
-def bgather(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def bgather(x: jnp.ndarray, idx: jnp.ndarray, banded: bool = False) -> jnp.ndarray:
     """Batched neighbourhood gather: x (B, N, C), idx (B, ...) -> (B, ..., C).
 
-    On TPU, 3-D (B, M, K) index gathers route to a Pallas kernel: the
-    banded one-hot-matmul kernel on Morton-ordered windowed neighborhoods
+    On TPU, 3-D (B, M, K) index gathers route to a Pallas kernel: with
+    ``banded=True`` (indices produced by the windowed kNN on Morton-ordered
+    clouds — callers pass ``geom.banded``) the banded one-hot-matmul kernel
     (ops/pallas/banded.py — MXU work instead of a scalar-issue-bound row
     loop), else the row-copy kernel (ops/pallas/gather.py — 2.4x fwd /
     3.5x bwd vs the XLA gather)."""
     if idx.ndim == 3 and jax.default_backend() == "tpu":
-        from ..ops.pallas import banded
+        from ..ops.pallas import banded as banded_mod
         from ..ops.pallas.gather import gather_rows
 
-        if banded.enabled() and banded.gather_supports(
+        if banded and banded_mod.gather_supports(
             idx.shape[1], x.shape[1], x.shape[2], idx.shape[2], x.dtype.itemsize
         ):
-            return banded.gather_banded(x, idx.astype(jnp.int32))
+            return banded_mod.gather_banded(x, idx.astype(jnp.int32))
         return gather_rows(x, idx.astype(jnp.int32))
     return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
 
@@ -82,6 +83,10 @@ class PointTransformerLayer(nn.Module):
     share_planes: int = 8
     norm: str = "batch"
     dtype: Any = jnp.float32
+    # indices come from the banded windowed kNN (set from geom.banded by
+    # the enclosing block/stage — a static attr, not a call arg, so the
+    # remat path stays clean)
+    banded: bool = False
 
     @nn.compact
     def __call__(self, p, x, knn_idx, *, train: bool = False):
@@ -98,7 +103,7 @@ class PointTransformerLayer(nn.Module):
             jnp.concatenate(
                 [p, nn.Dense(C, dtype=self.dtype)(x), nn.Dense(C, dtype=self.dtype)(x)],
                 axis=-1,
-            ), knn_idx
+            ), knn_idx, self.banded
         )                                                    # (B, N, K, 3+2C)
         rel = packed[..., :3] - p[:, :, None, :]             # (B, N, K, 3)
         x_k, x_v = packed[..., 3: 3 + C], packed[..., 3 + C:]
@@ -141,7 +146,7 @@ class TransitionDown(nn.Module):
         # single packed gather (see PointTransformerLayer note)
         packed = bgather(
             jnp.concatenate([parent_xyz.astype(self.dtype), x], axis=-1),
-            geom.down_knn_idx,
+            geom.down_knn_idx, geom.banded,
         )
         rel = packed[..., :3] - new_xyz[:, :, None, :]
         grouped = jnp.concatenate([rel, packed[..., 3:]], axis=-1)
@@ -183,7 +188,7 @@ class TransitionUp(nn.Module):
         a = nn.relu(PointNorm(self.norm, dtype=self.dtype)(a, train=train))
         b = nn.Dense(self.out_planes, dtype=self.dtype)(coarse_x.astype(self.dtype))
         b = nn.relu(PointNorm(self.norm, dtype=self.dtype)(b, train=train))
-        gathered = bgather(b, coarse_geom.up_idx)           # (B, N_fine, 3, C)
+        gathered = bgather(b, coarse_geom.up_idx, coarse_geom.banded)  # (B, N_fine, 3, C)
         b_up = jnp.einsum(
             "bnkc,bnk->bnc", gathered, coarse_geom.up_weight.astype(self.dtype)
         )
@@ -201,6 +206,7 @@ class PointTransformerBlock(nn.Module):
     # remat path: ``train`` must not be a call argument (flax's lifted
     # checkpoint traces all call args), so it can be pinned here instead
     static_train: bool = False
+    banded: bool = False  # knn_idx came from the banded windowed kNN
 
     @nn.compact
     def __call__(self, p, x, knn_idx, train: Optional[bool] = None):
@@ -210,7 +216,8 @@ class PointTransformerBlock(nn.Module):
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(x)
         h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
         h = PointTransformerLayer(self.planes, self.share_planes, self.norm,
-                                  dtype=self.dtype)(p, h, knn_idx, train=train)
+                                  dtype=self.dtype, banded=self.banded)(
+            p, h, knn_idx, train=train)
         h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(h)
         h = PointNorm(self.norm, dtype=self.dtype)(h, train=train)
@@ -243,13 +250,14 @@ class PointEncoderStage(nn.Module):
             for j in range(1, self.blocks):
                 x = block_cls(self.planes, self.share_planes, self.norm,
                               dtype=self.dtype, static_train=train,
+                              banded=geom.banded,
                               name=f"PointTransformerBlock_{j - 1}")(
                     geom.xyz, x, geom.knn_idx
                 )
             return x
         for _ in range(1, self.blocks):
             x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
-                                      dtype=self.dtype)(
+                                      dtype=self.dtype, banded=geom.banded)(
                 geom.xyz, x, geom.knn_idx, train
             )
         return x
@@ -281,7 +289,7 @@ class PointDecoderStage(nn.Module):
         )
         for _ in range(1, self.blocks):
             x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
-                                      dtype=self.dtype)(
+                                      dtype=self.dtype, banded=geom.banded)(
                 geom.xyz, x, geom.knn_idx, train=train
             )
         return x

@@ -20,12 +20,18 @@ from flax import struct
 from .pointops import batched_fps, batched_knn, interpolation_weights
 
 
-def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int):
-    """Windowed (banded) kNN on Morton-ordered data when enabled, exact
-    otherwise (ops/pallas/banded.py)."""
+def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
+              banded_on: bool = False):
+    """Windowed (banded) kNN on Morton-ordered data when requested (and
+    the shapes/backend support it), exact otherwise (ops/pallas/banded.py).
+    Bandedness is an explicit per-call argument — no process-global state."""
     from .pallas import banded
 
-    if banded.enabled() and banded.knn_supports(query.shape[1], support.shape[1], k):
+    if (
+        banded_on
+        and banded.available()
+        and banded.knn_supports(query.shape[1], support.shape[1], k)
+    ):
         return banded.knn_banded(query, support, k)
     return batched_knn(query, support, k)
 
@@ -44,6 +50,10 @@ class LevelGeometry:
     down_knn_idx: Optional[jnp.ndarray]  # (B, N_l, k) neighbours in the parent level
     up_idx: Optional[jnp.ndarray]        # (B, N_parent, 3) this-level NNs of parent points
     up_weight: Optional[jnp.ndarray]     # (B, N_parent, 3) inverse-distance weights
+    # STATIC aux data (not a pytree leaf): the index fields above came from
+    # the banded windowed kNN, so neighbourhood gathers may use the banded
+    # one-hot-matmul kernels. Part of the jit cache key by construction.
+    banded: bool = struct.field(pytree_node=False, default=False)
 
     @property
     def num_points(self) -> int:
@@ -55,6 +65,7 @@ def _level_geom(
     stride: int,
     nsample: int,
     with_up: bool,
+    banded: bool = False,
 ) -> LevelGeometry:
     """Batched geometry for one downsampling step ((B, N, 3) arrays)."""
     n = parent_xyz.shape[1]
@@ -69,13 +80,13 @@ def _level_geom(
         # banded kernels' window assumption); harmless otherwise
         fps_idx = jnp.sort(batched_fps(parent_xyz, m), axis=-1)
         xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
-        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample)
+        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded)
 
-    knn_idx, _ = _knn_auto(xyz, xyz, nsample)
+    knn_idx, _ = _knn_auto(xyz, xyz, nsample, banded)
 
     up_idx = up_weight = None
     if with_up and stride != 1:
-        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3)
+        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3, banded)
         up_weight = interpolation_weights(up_dist)
 
     return LevelGeometry(
@@ -85,6 +96,7 @@ def _level_geom(
         down_knn_idx=down_knn_idx,
         up_idx=up_idx,
         up_weight=up_weight,
+        banded=banded,
     )
 
 
@@ -97,21 +109,27 @@ def build_point_hierarchy(
     nsamples: Sequence[int],
     *,
     with_up: bool = True,
+    banded: bool = False,
 ) -> List[LevelGeometry]:
     """Jit-compiled wrapper (eager execution of the FPS/kNN cascade would
     dispatch op-by-op, which is pathological over a remote TPU)."""
     return list(
-        _build_point_hierarchy(xyz, tuple(strides), tuple(nsamples), with_up=with_up)
+        _build_point_hierarchy(
+            xyz, tuple(strides), tuple(nsamples), with_up=with_up, banded=banded
+        )
     )
 
 
-@functools.partial(jax.jit, static_argnames=("strides", "nsamples", "with_up"))
+@functools.partial(
+    jax.jit, static_argnames=("strides", "nsamples", "with_up", "banded")
+)
 def _build_point_hierarchy(
     xyz: jnp.ndarray,
     strides: Sequence[int],
     nsamples: Sequence[int],
     *,
     with_up: bool = True,
+    banded: bool = False,
 ) -> List[LevelGeometry]:
     """Build the full hierarchy for a batch of clouds, (B, N, 3).
 
@@ -125,7 +143,7 @@ def _build_point_hierarchy(
     # half-precision wire inputs: FPS/kNN distance math needs f32
     parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
     for stride, nsample in zip(strides, nsamples):
-        geom = _level_geom(parent, stride, nsample, with_up)
+        geom = _level_geom(parent, stride, nsample, with_up, banded)
         levels.append(geom)
         parent = geom.xyz
     return levels
@@ -139,6 +157,7 @@ def build_point_hierarchy_from_fps(
     *,
     prefix: str = "geo",
     with_up: bool = True,
+    banded: bool = False,
 ) -> List[LevelGeometry]:
     """Rebuild the hierarchy from cached FPS indices only, recomputing all
     kNN / up-interpolation on device.
@@ -161,15 +180,16 @@ def build_point_hierarchy_from_fps(
         else:
             fps_idx = arrays[f"{prefix}{li}_fps_idx"].astype(jnp.int32)
             lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
-            down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample)
-        knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample)
+            down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded)
+        knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded)
         up_idx = up_weight = None
         if with_up and stride != 1:
-            up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3)
+            up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded)
             up_weight = interpolation_weights(up_dist)
         levels.append(LevelGeometry(
             xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,
             down_knn_idx=down_knn_idx, up_idx=up_idx, up_weight=up_weight,
+            banded=banded,
         ))
         parent = lvl_xyz
     return levels

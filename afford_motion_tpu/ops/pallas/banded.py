@@ -19,8 +19,12 @@ Because every index produced by ``knn_banded`` lies in its tile's window
 by construction, the gather/scatter pair is *exact* for those indices —
 the only approximation in the system is the windowed neighborhood itself.
 
-Enabled via ``set_enabled(True)`` (the train loop turns it on when the
-packed store reports Morton-sorted data and geometry ships as fps-only).
+There is NO process-global on/off state: bandedness is carried explicitly
+— ``model.use_banded`` -> ``add_hierarchies`` -> the ``LevelGeometry.banded``
+static field -> per-call ``banded=`` arguments of ``bgather``/``_knn_auto``
+(the TrainLoop turns it on when the packed store reports Morton-sorted data
+and geometry ships as fps-only). A flag threaded through the pytree aux
+data also makes jit caching correct by construction: toggling it retraces.
 """
 from __future__ import annotations
 
@@ -33,16 +37,11 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-_ENABLED = False
 
-
-def set_enabled(on: bool) -> None:
-    global _ENABLED
-    _ENABLED = bool(on)
-
-
-def enabled() -> bool:
-    return _ENABLED and jax.default_backend() == "tpu"
+def available() -> bool:
+    """Banded kernels run compiled on TPU only (interpret mode is for
+    tests); routers call this in addition to the explicit ``banded`` flag."""
+    return jax.default_backend() == "tpu"
 
 
 def _interpret() -> bool:
@@ -234,6 +233,10 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarra
     starts, s = window_starts(M, n, window_width(n))
     starts_arr = jnp.asarray(starts, dtype=jnp.int32)
     G = M // TQ
+    # Scatter-add accumulates in f32 regardless of g.dtype: the per-tile
+    # matmul partials and the overlapping-window fold sum many bf16 terms
+    # per support row, and this is the hottest backward op (matching the
+    # row-loop kernel's deliberate f32 scatter, ops/pallas/gather.py).
     tiles = pl.pallas_call(
         functools.partial(_scatter_kernel, K, s),
         grid=(B, G),
@@ -246,20 +249,46 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarra
         ],
         out_specs=pl.BlockSpec((1, 1, s, C), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, G, s, C), g.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, G, s, C), jnp.float32),
         interpret=_interpret(),
     )(starts_arr, idx, g.reshape(B, M * K, C))
     # fold overlapping per-tile windows with static dynamic-update adds
-    dx = jnp.zeros((B, n, C), dtype=g.dtype)
+    dx = jnp.zeros((B, n, C), dtype=jnp.float32)
     for t, st in enumerate(starts):
         dx = dx.at[:, st: st + s, :].add(tiles[:, t])
-    return dx
+    return dx.astype(g.dtype)
 
 
 @jax.custom_vjp
 def gather_banded(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     """(B, N, C), (B, M, K) int32 (window-local absolute indices) ->
-    (B, M, K, C). Exact for indices produced by knn_banded."""
+    (B, M, K, C). Exact for indices produced by knn_banded.
+
+    INVARIANT: every index in row block t must lie inside that tile's
+    Morton window [starts[t], starts[t] + S) for the *same* (M, N)
+    geometry (``window_starts(M, N, window_width(N))``). Out-of-window
+    indices silently produce zero rows (the one-hot has no hit), so call
+    sites must only feed indices from ``knn_banded`` with matching shapes
+    — or shapes where S == N (full window: exact for any indices).
+    Set ``AM_BANDED_DEBUG=1`` to assert containment on concrete (eager /
+    interpret-mode) calls — a host-side test/debug check; traced calls
+    skip it."""
+    if (
+        _os.environ.get("AM_BANDED_DEBUG", "") == "1"
+        and not isinstance(idx, jax.core.Tracer)
+    ):
+        import numpy as _np
+
+        _, M, K = idx.shape
+        N = x.shape[1]
+        starts, s = window_starts(M, N, window_width(N))
+        rel = _np.asarray(idx) - _np.repeat(
+            _np.asarray(starts, dtype=_np.int32), TQ
+        )[None, :, None]
+        assert bool(((rel >= 0) & (rel < s)).all()), (
+            "gather_banded: index outside its Morton window "
+            f"(M={M}, N={N}, S={s})"
+        )
     return _gather_banded_impl(x, idx)
 
 

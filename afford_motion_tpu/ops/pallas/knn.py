@@ -4,10 +4,13 @@ The XLA path materializes the (M, N) squared-distance matrix in HBM and
 then reads it back through ``lax.approx_min_k`` — at M=N=8192, batch 32
 that is ~8GB of HBM round-trip per hierarchy build. This kernel keeps each
 (TQ, N) distance tile entirely in VMEM: distances are computed per query
-tile (exact f32, coordinate-difference form — no MXU bf16 passes) and
-reduced to the k nearest in-place with k min-extraction sweeps, so the
-distance matrix never touches HBM. It is also exact (ties resolved to the
-smallest index, matching jnp.argmin/the reference CUDA knnquery order).
+tile (f32, coordinate-difference form — no MXU bf16 passes) and reduced
+to the k nearest in-place with k min-extraction sweeps, so the distance
+matrix never touches HBM. Near-exact: packing the column index into the
+low 13 mantissa bits quantizes distances to ~2^-11 relative, which can
+change neighbor selection for near-ties (~0.999 exact-neighbor match in
+practice, PARITY.md); genuine ties resolve to the smallest index,
+matching jnp.argmin/the reference CUDA knnquery order.
 
 Replaces pointops_cuda's knnquery (reference:
 models/scene_models/pointops.py:30-45) on the TPU hot path.

@@ -209,7 +209,7 @@ class TrainLoop:
                 self._assemble = make_assemble_fn(store)
 
         self.train_step = make_train_step(
-            model, diffusion, sampler=self._sampler,
+            self.model, diffusion, sampler=self._sampler,
             steps_per_dispatch=self.steps_per_dispatch,
             assemble=self._assemble,
         )
@@ -218,9 +218,10 @@ class TrainLoop:
         """Enable the banded windowed-neighborhood kernels when the data
         supports them: Morton-sorted packed store(s) + fps-only geometry
         wire (so every neighborhood index is produced on device by the
-        windowed kNN). See ops/pallas/banded.py."""
-        from ..ops.pallas import banded
-
+        windowed kNN). Carried on the model (``use_banded`` attribute ->
+        LevelGeometry.banded static field), NOT process-global state —
+        eval/test paths in the same process keep exact numerics. See
+        ops/pallas/banded.py."""
         ds = self.dataloader.dataset
         dcfg = getattr(ds, "cfg", None)
         if dcfg is None or not bool(dcfg.get("use_banded", True)):
@@ -233,7 +234,7 @@ class TrainLoop:
             else ([packed] if packed is not None else [])
         )
         if stores and all(st.meta.get("morton") for st in stores):
-            banded.set_enabled(True)
+            self.model = self.model.clone(use_banded=True)
             logger.info(
                 "banded windowed-neighborhood kernels enabled "
                 "(Morton-sorted packed data, fps geometry wire)"
@@ -334,8 +335,10 @@ class TrainLoop:
             def prepare(ids):
                 meta = store.draw_batch(dset, ids)
                 texts = meta.pop("c_text")
-                emb = self.text_encoder.encode(texts)[:, None, :]
+                emb, tok_pad = self.text_encoder.encode_tokens(texts)
                 meta["text_emb"] = emb.astype(np.float16)
+                if getattr(self.text_encoder, "per_token", False):
+                    meta["text_token_mask"] = tok_pad
                 xs = meta.pop("item_row").reshape(G, B)
                 conds = {
                     k: np.asarray(v).reshape(G, B, *np.asarray(v).shape[1:])
@@ -343,15 +346,27 @@ class TrainLoop:
                 }
                 return xs, conds
 
+            # resume-aware epoch stream: start at the permutation epoch the
+            # resumed step falls in (and skip its consumed chunks) so a
+            # crash-resume doesn't replay the corpus from the beginning;
+            # the loader's shuffle seed folds into the permutation
+            start_step = step
+            loader_seed = int(getattr(self.dataloader, "seed", 0))
+
             def batch_groups():
-                ep = 0
                 chunk = G * B
+                chunks_per_ep = max(1, n_items // chunk)
+                steps_per_pass = chunks_per_ep * G
+                ep = start_step // steps_per_pass
+                skip = (start_step % steps_per_pass) // G
                 while True:
                     order = np.random.default_rng(
-                        (self._base_seed * 977 + ep) & 0x7FFFFFFF
+                        (self._base_seed * 977 + loader_seed * 9176 + ep)
+                        & 0x7FFFFFFF
                     ).permutation(n_items)
-                    for s in range(0, (n_items // chunk) * chunk, chunk):
+                    for s in range(skip * chunk, chunks_per_ep * chunk, chunk):
                         yield order[s: s + chunk]
+                    skip = 0
                     ep += 1
         else:
             if mega:
@@ -482,8 +497,6 @@ class TrainLoop:
             if profiling:
                 jax.profiler.stop_trace()
             prefetcher.close()
-            from ..ops.pallas import banded
-            banded.set_enabled(False)
 
         if step % self.save_every_step >= G:
             self.save(step)

@@ -65,6 +65,27 @@ class _JsonlBoard:
         self._f.close()
 
 
+class _WandbBoard:
+    """Offline-mode WandB writer (reference: utils/io.py:61-91). Runs are
+    written under <log_dir>/wandb for a later `wandb sync`; this container
+    has no egress, so online mode is never attempted."""
+
+    def __init__(self, log_dir: str, project: str = "afford-motion-tpu",
+                 name: Optional[str] = None, **kwargs):
+        import wandb
+
+        os.environ.setdefault("WANDB_MODE", "offline")
+        self._run = wandb.init(
+            project=project, name=name, dir=log_dir, mode="offline",
+        )
+
+    def add_scalar(self, tag: str, value: float, step: int) -> None:
+        self._run.log({tag: float(value)}, step=int(step))
+
+    def close(self) -> None:
+        self._run.finish()
+
+
 class Board:
     """Singleton scalar board (reference: utils/io.py:122-151)."""
 
@@ -77,14 +98,33 @@ class Board:
         return cls._instance
 
     def create_board(self, platform: str = "TensorBoard", log_dir: str = "outputs/board", **kwargs) -> None:
+        """Platforms (reference: utils/io.py:93-151): 'tensorboard' (JSONL
+        fallback if the writer is unavailable), 'wandb' (offline mode; a
+        missing wandb package is a loud error, NOT a silent fallback), and
+        'jsonl' (explicit)."""
         mkdir_if_not_exists(log_dir)
-        if platform.lower() == "tensorboard":
+        plat = platform.lower()
+        if plat == "tensorboard":
             try:
                 from torch.utils.tensorboard import SummaryWriter
                 self._writer = SummaryWriter(log_dir=log_dir)
                 return
             except Exception:
                 pass
+        elif plat == "wandb":
+            # reference: utils/io.py:61-91 (WanDBoard). Zero-egress boxes
+            # must fail loudly rather than silently drop the curves the
+            # user asked for.
+            try:
+                import wandb  # noqa: F401
+            except ImportError as e:
+                raise RuntimeError(
+                    "platform: wandb requested but the wandb package is not "
+                    "installed in this environment. Use platform: "
+                    "TensorBoard (or jsonl) instead."
+                ) from e
+            self._writer = _WandbBoard(log_dir, **kwargs)
+            return
         self._writer = _JsonlBoard(log_dir)
 
     def write(self, data: Dict[str, float], step: Optional[int] = None) -> None:

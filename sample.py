@@ -59,6 +59,7 @@ def sample(cfg: DictConfig) -> None:
         table_path=te_cfg.get("table_path"),
         weights_dir=te_cfg.get("weights_dir"),
         max_length=cfg.model.text_model.max_length,
+        per_token=str(cfg.model.name) == "CMDM",
     )
 
     ckpt = latest_ckpt(os.path.join(cfg.exp_dir, "ckpt"))

@@ -75,6 +75,7 @@ def test(cfg: DictConfig) -> None:
         table_path=te_cfg.get("table_path"),
         weights_dir=te_cfg.get("weights_dir"),
         max_length=cfg.model.text_model.max_length,
+        per_token=str(cfg.model.name) == "CMDM",
     )
 
     ## restore the natsort-latest checkpoint (reference: test.py:47-49);

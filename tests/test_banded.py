@@ -71,18 +71,20 @@ def test_full_window_covers_any_indices():
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
 
 
-def test_enable_gating():
-    banded.set_enabled(True)
-    try:
-        # CPU backend: enabled() stays False (TPU-only kernels)
-        assert banded.enabled() is False or jax.default_backend() == "tpu"
-    finally:
-        banded.set_enabled(False)
+def test_no_global_state():
+    """Bandedness is threaded explicitly (model.use_banded ->
+    LevelGeometry.banded -> bgather banded=): the module must NOT expose
+    mutable process-global on/off state."""
+    assert not hasattr(banded, "set_enabled")
+    assert not hasattr(banded, "_ENABLED")
+    # CPU backend: compiled banded kernels unavailable (interpret-only)
+    assert banded.available() is False or jax.default_backend() == "tpu"
 
 
-def test_hierarchy_uses_windowed_knn_when_enabled(sorted_cloud, monkeypatch):
-    """_knn_auto routes through knn_banded when the flag is on (force
-    enabled() truthy on CPU via monkeypatch)."""
+def test_hierarchy_uses_windowed_knn_when_requested(sorted_cloud, monkeypatch):
+    """_knn_auto routes through knn_banded when banded=True is passed
+    (force available() truthy on CPU via monkeypatch), and stays exact
+    when banded=False."""
     from afford_motion_tpu.ops import hierarchy as H
 
     calls = {}
@@ -92,8 +94,46 @@ def test_hierarchy_uses_windowed_knn_when_enabled(sorted_cloud, monkeypatch):
         calls["hit"] = True
         return real(q, s, k)
 
-    monkeypatch.setattr(banded, "enabled", lambda: True)
+    monkeypatch.setattr(banded, "available", lambda: True)
     monkeypatch.setattr(banded, "knn_banded", spy)
     q = jnp.asarray(sorted_cloud)
-    H._knn_auto(q, q, 8)
+    H._knn_auto(q, q, 8, banded_on=True)
     assert calls.get("hit")
+    calls.clear()
+    H._knn_auto(q, q, 8, banded_on=False)
+    assert not calls.get("hit")
+
+
+def test_levelgeometry_banded_is_static_aux(sorted_cloud):
+    """The banded flag is pytree aux data: toggling it changes the jit
+    cache key (different treedefs), so numerics can't leak across
+    train/eval in one process."""
+    from afford_motion_tpu.ops.hierarchy import build_point_hierarchy
+
+    q = jnp.asarray(sorted_cloud)
+    lv_off = build_point_hierarchy(q, [1, 4], [8, 8], banded=False)
+    lv_on = build_point_hierarchy(q, [1, 4], [8, 8], banded=True)
+    t_off = jax.tree_util.tree_structure(lv_off)
+    t_on = jax.tree_util.tree_structure(lv_on)
+    assert t_off != t_on
+    assert lv_on[0].banded and not lv_off[0].banded
+
+
+def test_gather_banded_debug_assert(sorted_cloud, monkeypatch):
+    """AM_BANDED_DEBUG=1 catches out-of-window indices on concrete calls
+    (geometry-mismatch guard for future bgather call sites)."""
+    monkeypatch.setenv("AM_BANDED_DEBUG", "1")
+    rng = np.random.default_rng(3)
+    # N=2048: window S < N, so a far-away index is out-of-window
+    pts = rng.normal(size=(1, 2048, 3)).astype(np.float32)
+    pts = np.stack([p[morton_order(p)] for p in pts])
+    q = jnp.asarray(pts)
+    idx, _ = banded.knn_banded(q, q, 8)
+    _, s = banded.window_starts(2048, 2048, banded.window_width(2048))
+    assert s < 2048
+    x = jnp.asarray(rng.normal(size=(1, 2048, 4)).astype(np.float32))
+    banded.gather_banded(x, idx)  # in-window: fine
+    bad = np.asarray(idx).copy()
+    bad[0, 0, 0] = 2047  # row block 0's window cannot reach the last row
+    with pytest.raises(AssertionError):
+        banded.gather_banded(x, jnp.asarray(bad))

@@ -46,6 +46,11 @@ def train(cfg: DictConfig) -> None:
         table_path=te_cfg.get("table_path"),
         weights_dir=te_cfg.get("weights_dir"),
         max_length=cfg.model.text_model.max_length,
+        # TRAIN is strict: a stale table must not silently train on hash
+        # embeddings (escape hatch: text_encoder.allow_fallback=true)
+        strict_table=not bool(te_cfg.get("allow_fallback", False)),
+        # CMDM+BERT consumes per-token features (reference cmdm.py:138-140)
+        per_token=str(cfg.model.name) == "CMDM",
     )
 
     TrainLoop(
