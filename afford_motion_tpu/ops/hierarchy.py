@@ -66,6 +66,7 @@ def _level_geom(
     nsample: int,
     with_up: bool,
     banded: bool = False,
+    sort_fps: bool = False,
 ) -> LevelGeometry:
     """Batched geometry for one downsampling step ((B, N, 3) arrays)."""
     n = parent_xyz.shape[1]
@@ -75,10 +76,18 @@ def _level_geom(
         down_knn_idx = None
     else:
         m = n // stride
-        # ascending order: a pure relabeling of the FPS *set* that keeps a
-        # Morton-ordered parent's spatial locality in the child level (the
-        # banded kernels' window assumption); harmless otherwise
-        fps_idx = jnp.sort(batched_fps(parent_xyz, m), axis=-1)
+        fps_idx = batched_fps(parent_xyz, m)
+        if banded or sort_fps:
+            # ascending order: a pure relabeling of the FPS *set* that
+            # keeps a Morton-ordered parent's spatial locality in the
+            # child level (the banded kernels' window assumption). The
+            # DEFAULT keeps the CUDA kernel's greedy selection order
+            # (reference: pointtransformer.py:61-62) — downstream token
+            # consumers are order-sensitive (the CMDM adds positional
+            # encodings to the SceneMap group tokens, cmdm.py:164-166),
+            # so converted reference checkpoints only reproduce exactly
+            # in selection order (tests/test_golden_parity.py).
+            fps_idx = jnp.sort(fps_idx, axis=-1)
         xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
         down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded)
 
@@ -110,18 +119,24 @@ def build_point_hierarchy(
     *,
     with_up: bool = True,
     banded: bool = False,
+    sort_fps: bool = False,
 ) -> List[LevelGeometry]:
     """Jit-compiled wrapper (eager execution of the FPS/kNN cascade would
-    dispatch op-by-op, which is pathological over a remote TPU)."""
+    dispatch op-by-op, which is pathological over a remote TPU).
+
+    ``sort_fps`` relabels each level into ascending-index order (implied
+    by ``banded``; offline geometry caches also set it so the cached
+    indices satisfy the banded wire's window assumption)."""
     return list(
         _build_point_hierarchy(
-            xyz, tuple(strides), tuple(nsamples), with_up=with_up, banded=banded
+            xyz, tuple(strides), tuple(nsamples), with_up=with_up,
+            banded=banded, sort_fps=sort_fps,
         )
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "nsamples", "with_up", "banded")
+    jax.jit, static_argnames=("strides", "nsamples", "with_up", "banded", "sort_fps")
 )
 def _build_point_hierarchy(
     xyz: jnp.ndarray,
@@ -130,6 +145,7 @@ def _build_point_hierarchy(
     *,
     with_up: bool = True,
     banded: bool = False,
+    sort_fps: bool = False,
 ) -> List[LevelGeometry]:
     """Build the full hierarchy for a batch of clouds, (B, N, 3).
 
@@ -143,7 +159,7 @@ def _build_point_hierarchy(
     # half-precision wire inputs: FPS/kNN distance math needs f32
     parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
     for stride, nsample in zip(strides, nsamples):
-        geom = _level_geom(parent, stride, nsample, with_up, banded)
+        geom = _level_geom(parent, stride, nsample, with_up, banded, sort_fps)
         levels.append(geom)
         parent = geom.xyz
     return levels

@@ -112,7 +112,10 @@ def cmd_geometry(args) -> None:
     for start in range(0, len(contact_files), B):
         chunk = contact_files[start: start + B]
         xyz = np.stack([np.load(f)["points"][:, :3].astype(np.float32) for f in chunk])
-        levels = build_point_hierarchy(jnp.asarray(xyz), strides, nsamples)
+        # sort_fps: cached indices must keep Morton locality per level so
+        # the fps-only wire can run the banded windowed kernels on them
+        levels = build_point_hierarchy(jnp.asarray(xyz), strides, nsamples,
+                                       sort_fps=True)
         arrays = {}
         for k, v in geometry_to_arrays(levels, prefix=f"geo_{args.kind}").items():
             v = np.asarray(v)

@@ -1,0 +1,239 @@
+"""Import the read-only torch reference (/root/reference) on CPU so golden
+forward-parity tests can drive the REAL reference module classes with
+random weights and compare against the flax rebuild (VERDICT r1 item #3).
+
+The reference expects CUDA (pointops_cuda) plus packages this container
+lacks (clip, smplkit, omegaconf); this harness supplies:
+
+- a CPU ``models.scene_models.pointops`` stand-in implementing the exact
+  CUDA kernel semantics (reference: models/scene_models/pointops.py):
+  FPS starts at each segment's first point and greedily maximizes the min
+  squared distance (pointops.py:10-27); kNN returns the nsample nearest
+  global indices per segment with sqrt distances (pointops.py:30-45);
+  interpolation is 3-NN inverse-distance with the 1e-8 epsilon
+  (pointops.py:164-178). These mirror the numpy oracles that already
+  gate the JAX kernels in tests/test_pointops.py.
+- stub ``clip`` / ``smplkit`` / ``omegaconf`` modules (text encoders are
+  monkeypatched per test — the parity target is the NETWORK, the frozen
+  text encoder is an external in both frameworks),
+- a ``torch.cuda.IntTensor`` shim for TransitionDown's offset math
+  (reference: pointtransformer.py:60).
+
+Everything here only READS the reference tree; nothing is copied into the
+package under test.
+"""
+from __future__ import annotations
+
+import sys
+import types
+from typing import Optional
+
+import numpy as np
+import torch
+
+REF_ROOT = "/root/reference"
+
+
+class Cfg(dict):
+    """Minimal omegaconf.DictConfig stand-in: recursive attribute access."""
+
+    def __getattr__(self, k):
+        try:
+            v = self[k]
+        except KeyError as e:  # pragma: no cover
+            raise AttributeError(k) from e
+        return Cfg(v) if isinstance(v, dict) and not isinstance(v, Cfg) else v
+
+
+# --------------------------------------------------------------- pointops
+def _segments(offset) -> list:
+    ends = [int(v) for v in offset]
+    return list(zip([0] + ends[:-1], ends))
+
+
+def _np_fps(pts: np.ndarray, m: int) -> np.ndarray:
+    """Greedy FPS, start at index 0 (CUDA kernel rule, pointops.py:10-27)."""
+    n = pts.shape[0]
+    sel = np.zeros(m, dtype=np.int64)
+    min_d = np.full(n, np.inf, dtype=np.float32)
+    last = 0
+    for i in range(1, m):
+        d = ((pts - pts[last]) ** 2).sum(-1)
+        min_d = np.minimum(min_d, d)
+        last = int(np.argmax(min_d))
+        sel[i] = last
+    return sel
+
+
+def _cpu_pointops() -> types.ModuleType:
+    mod = types.ModuleType("models.scene_models.pointops")
+
+    def furthestsampling(xyz, offset, new_offset):
+        x = xyz.detach().cpu().numpy().astype(np.float32)
+        out, prev = [], 0
+        for (s, e), no in zip(_segments(offset), (int(v) for v in new_offset)):
+            m, prev = no - prev, no
+            out.append(_np_fps(x[s:e], m) + s)
+        return torch.from_numpy(np.concatenate(out).astype(np.int32))
+
+    def knnquery(nsample, xyz, new_xyz, offset, new_offset):
+        if new_xyz is None:
+            new_xyz = xyz
+        x = xyz.detach().cpu().numpy().astype(np.float32)
+        q = new_xyz.detach().cpu().numpy().astype(np.float32)
+        idx_all, dist_all = [], []
+        for (s, e), (qs, qe) in zip(_segments(offset), _segments(new_offset)):
+            d = ((q[qs:qe, None, :] - x[None, s:e, :]) ** 2).sum(-1)
+            if e - s < nsample:
+                # CUDA kernel semantics: heap slots init to (start, 1e10);
+                # with fewer support points than nsample the tail keeps
+                # the segment-start index (knnquery_cuda_kernel heap init)
+                pad = np.full((qe - qs, nsample - (e - s)), 1e10, np.float32)
+                d = np.concatenate([d, pad], axis=-1)
+                d_idx = np.argsort(d, axis=-1, kind="stable")[:, :nsample]
+                idx = np.where(d_idx < e - s, d_idx, 0)
+                dist_all.append(np.sqrt(np.take_along_axis(d, d_idx, axis=-1)))
+            else:
+                idx = np.argsort(d, axis=-1, kind="stable")[:, :nsample]
+                dist_all.append(np.sqrt(np.take_along_axis(d, idx, axis=-1)))
+            idx_all.append(idx + s)
+        return (
+            torch.from_numpy(np.concatenate(idx_all).astype(np.int32)),
+            torch.from_numpy(np.concatenate(dist_all).astype(np.float32)),
+        )
+
+    def queryandgroup(nsample, xyz, new_xyz, feat, idx, offset, new_offset,
+                      use_xyz=True):
+        """(n,3),(m,3),(n,c) -> (m, nsample, 3+c) rel-xyz + grouped feats
+        (reference: pointops.py:79-100)."""
+        if new_xyz is None:
+            new_xyz = xyz
+        if idx is None:
+            idx, _ = knnquery(nsample, xyz, new_xyz, offset, new_offset)
+        flat = idx.reshape(-1).long()
+        grouped_xyz = xyz[flat].reshape(idx.shape[0], nsample, 3)
+        grouped_xyz = grouped_xyz - new_xyz.unsqueeze(1)
+        grouped_feat = feat[flat].reshape(idx.shape[0], nsample, feat.shape[1])
+        if use_xyz:
+            return torch.cat([grouped_xyz, grouped_feat], dim=-1)
+        return grouped_feat
+
+    def interpolation(xyz, new_xyz, feat, offset, new_offset, k=3):
+        """k-NN inverse-sqrt-distance interpolation, eps 1e-8
+        (reference: pointops.py:164-178)."""
+        idx, dist = knnquery(k, xyz, new_xyz, offset, new_offset)
+        recip = 1.0 / (dist + 1e-8)
+        weight = recip / recip.sum(dim=1, keepdim=True)
+        out = torch.zeros(new_xyz.shape[0], feat.shape[1], dtype=feat.dtype)
+        for i in range(k):
+            out = out + feat[idx[:, i].long()] * weight[:, i].unsqueeze(-1)
+        return out
+
+    mod.furthestsampling = furthestsampling
+    mod.knnquery = knnquery
+    mod.queryandgroup = queryandgroup
+    mod.interpolation = interpolation
+    return mod
+
+
+# ------------------------------------------------------------------ stubs
+def _clip_stub() -> types.ModuleType:
+    mod = types.ModuleType("clip")
+
+    def load(version, device="cpu", jit=False):
+        return torch.nn.Module(), None
+
+    def tokenize(*a, **k):  # pragma: no cover
+        raise RuntimeError("clip stub: tests must monkeypatch encode_text_clip")
+
+    mod.load = load
+    mod.tokenize = tokenize
+    return mod
+
+
+def _smplkit_stub() -> types.ModuleType:
+    mod = types.ModuleType("smplkit")
+
+    class SMPLXLayer:  # utils/misc.py instantiates this at import time
+        def __init__(self, *a, **k):
+            pass
+
+    mod.SMPLXLayer = SMPLXLayer
+    return mod
+
+
+def _omegaconf_stub() -> types.ModuleType:
+    mod = types.ModuleType("omegaconf")
+    mod.DictConfig = Cfg
+    return mod
+
+
+_ns: Optional[types.SimpleNamespace] = None
+
+
+def load_reference() -> types.SimpleNamespace:
+    """Import the reference model modules (cached). Returns a namespace
+    with .cdm, .cmdm, .modules, .pointtransformer."""
+    global _ns
+    if _ns is not None:
+        return _ns
+
+    for name, maker in [("clip", _clip_stub), ("smplkit", _smplkit_stub),
+                        ("omegaconf", _omegaconf_stub)]:
+        if name not in sys.modules:
+            sys.modules[name] = maker()
+    # TransitionDown builds its new offsets with torch.cuda.IntTensor
+    # (reference: pointtransformer.py:60) — shim it to a CPU int tensor
+    torch.cuda.IntTensor = lambda data: torch.tensor(data, dtype=torch.int32)
+
+    sys.path.insert(0, REF_ROOT)
+    # seed the CPU pointops BEFORE any `models` import: models/__init__.py
+    # pulls in the whole chain down to pointops (which imports the absent
+    # pointops_cuda) on first touch
+    sys.modules["models.scene_models.pointops"] = _cpu_pointops()
+    try:
+        import models.cdm as ref_cdm
+        import models.cmdm as ref_cmdm
+        import models.modules as ref_modules
+        import models.scene_models.pointtransformer as ref_pt
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    _ns = types.SimpleNamespace(
+        cdm=ref_cdm, cmdm=ref_cmdm, modules=ref_modules, pointtransformer=ref_pt
+    )
+    return _ns
+
+
+# ----------------------------------------------------------------- helpers
+def randomize_module(module: torch.nn.Module, seed: int = 0) -> None:
+    """Randomize ALL parameters and BatchNorm running stats so frozen-BN
+    eval semantics are actually exercised (torch's default running stats
+    are the identity). Scales keep deep nets finite."""
+    gen = torch.Generator().manual_seed(seed)
+    with torch.no_grad():
+        for m in module.modules():
+            if isinstance(m, (torch.nn.BatchNorm1d, torch.nn.BatchNorm2d,
+                              torch.nn.LayerNorm)):
+                m.weight.normal_(1.0, 0.1, generator=gen)
+                m.bias.normal_(0.0, 0.1, generator=gen)
+                if hasattr(m, "running_mean") and m.running_mean is not None:
+                    m.running_mean.normal_(0.0, 0.2, generator=gen)
+                    m.running_var.uniform_(0.6, 1.6, generator=gen)
+            elif isinstance(m, torch.nn.Linear):
+                fan_in = m.weight.shape[1]
+                m.weight.normal_(0.0, 1.0 / np.sqrt(fan_in), generator=gen)
+                if m.bias is not None:
+                    m.bias.normal_(0.0, 0.02, generator=gen)
+            elif isinstance(m, torch.nn.MultiheadAttention):
+                d = m.embed_dim
+                if m.in_proj_weight is not None:
+                    m.in_proj_weight.normal_(0.0, 1.0 / np.sqrt(d), generator=gen)
+                    m.in_proj_bias.normal_(0.0, 0.02, generator=gen)
+                m.out_proj.weight.normal_(0.0, 1.0 / np.sqrt(d), generator=gen)
+                m.out_proj.bias.normal_(0.0, 0.02, generator=gen)
+
+
+def state_dict_numpy(module: torch.nn.Module) -> dict:
+    return {k: v.detach().cpu().numpy().astype(np.float32)
+            for k, v in module.state_dict().items()}

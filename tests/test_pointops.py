@@ -126,12 +126,17 @@ def test_hierarchy_structure():
     assert levels[1].up_weight.shape == (2, 256, 3)
     np.testing.assert_allclose(np.asarray(levels[1].up_weight).sum(-1), 1.0, rtol=1e-5)
     assert levels[2].xyz.shape == (2, 16, 3)
-    # fps selection = oracle SET, stored ascending (the hierarchy relabels
-    # levels in index order to preserve Morton locality for banded kernels)
+    # default: CUDA-parity greedy selection ORDER (order-sensitive token
+    # consumers — see tests/test_golden_parity.py); sort_fps/banded relabel
+    # each level ascending to preserve Morton locality for banded kernels
     want = np_fps(np.asarray(xyz[0]), 64)
     got = np.asarray(levels[1].fps_idx[0])
-    np.testing.assert_array_equal(got, np.sort(got))
-    np.testing.assert_array_equal(np.sort(got), np.sort(want))
+    np.testing.assert_array_equal(got, want)
+    sorted_levels = build_point_hierarchy(xyz, [1, 4, 4], [8, 16, 16],
+                                          sort_fps=True)
+    got_sorted = np.asarray(sorted_levels[1].fps_idx[0])
+    np.testing.assert_array_equal(got_sorted, np.sort(got_sorted))
+    np.testing.assert_array_equal(got_sorted, np.sort(want))
 
 
 def test_gradients_flow_through_grouping():
