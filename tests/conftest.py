@@ -19,3 +19,28 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+
+# `pytest -m quick`: the sub-2-minute oracle layer that gates every commit
+# (VERDICT r1 #9). Files listed here are auto-marked quick unless a test
+# carries an explicit `slow` marker.
+_QUICK_FILES = {
+    "test_config.py",
+    "test_diffusion.py",
+    "test_pointops.py",
+    "test_prepare.py",
+    "test_smplx.py",
+    "test_text.py",
+    "test_visualize.py",
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+
+    for item in items:
+        if (
+            item.path.name in _QUICK_FILES
+            and "slow" not in item.keywords
+        ):
+            item.add_marker(pytest.mark.quick)

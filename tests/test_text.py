@@ -69,6 +69,7 @@ def test_encode_tokens_pooled_default():
     np.testing.assert_allclose(emb[:, 0], enc.encode(["x", "y", ""]))
 
 
+@pytest.mark.slow  # full CMDM forward, ~30s on the 1-core host
 def test_cmdm_accepts_per_token_text():
     """Multi-token text (BERT wire: (B, Lt, Dt) + pad mask) flows through
     both CMDM archs; the motion slice stays aligned (reference
