@@ -254,6 +254,10 @@ class CDM(nn.Module):
     # banded windowed-neighborhood kernels for point hierarchies (Morton-
     # sorted clouds only; set by the TrainLoop — see ops/pallas/banded.py)
     use_banded: bool = False
+    # bit-exact kNN for the hierarchies (no Pallas packed-bits kernel, no
+    # approx_min_k) — the reference-parity eval path; see PARITY.md's
+    # measured metric deltas for the shipped default
+    knn_exact: bool = False
 
     @property
     def needs_seg_hierarchy(self) -> bool:
@@ -379,4 +383,8 @@ def build_cdm(model_cfg: Any) -> CDM:
         last_dim=int(ac.last_dim),
         norm=str(model_cfg.get("norm", "batch")),
         dtype=jnp.dtype(str(model_cfg.get("dtype", "float32"))),
+        knn_exact=bool(model_cfg.get("knn_exact", False)),
+        # normally set by the TrainLoop for Morton-sorted packed data;
+        # config override enables eval-side banded runs (metric A/B)
+        use_banded=bool(model_cfg.get("use_banded", False)),
     )

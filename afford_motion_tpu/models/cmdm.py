@@ -58,6 +58,10 @@ class CMDM(nn.Module):
     # (requires Morton-sorted clouds; the TrainLoop sets this when the
     # packed store reports Morton order — see ops/pallas/banded.py)
     use_banded: bool = False
+    # bit-exact kNN for the hierarchy (no Pallas packed-bits kernel, no
+    # approx_min_k) — the reference-parity eval path; see PARITY.md's
+    # measured metric deltas for the shipped default
+    knn_exact: bool = False
 
     @property
     def needs_scenemap_hierarchy(self) -> bool:
@@ -263,4 +267,8 @@ def build_cmdm(model_cfg: Any) -> CMDM:
         dim_feedforward=int(model_cfg.dim_feedforward),
         norm=str(model_cfg.get("norm", "batch")),
         dtype=jnp.dtype(str(model_cfg.get("dtype", "float32"))),
+        knn_exact=bool(model_cfg.get("knn_exact", False)),
+        # normally set by the TrainLoop for Morton-sorted packed data;
+        # config override enables eval-side banded runs (metric A/B)
+        use_banded=bool(model_cfg.get("use_banded", False)),
     )

@@ -77,6 +77,9 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
     # use_banded=True for Morton-sorted packed data); the full-geometry
     # cache path stays exact — its indices were computed offline
     banded = bool(getattr(model, "use_banded", False))
+    # model.knn_exact: bit-exact reference-parity kNN (eval A/B leg);
+    # threaded as an explicit static arg, same discipline as use_banded
+    knn_method = "exact" if bool(getattr(model, "knn_exact", False)) else None
 
     def levels_for(prefix, strides, nsamples, up):
         if f"{prefix}0_knn_idx" in cond:      # full geometry cache
@@ -84,10 +87,11 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
         if f"{prefix}1_fps_idx" in cond:      # fps-only wire: kNN on device
             return build_point_hierarchy_from_fps(
                 xyz, cond, strides, nsamples, prefix=prefix, with_up=up,
-                banded=banded,
+                banded=banded, knn_method=knn_method,
             )
         return build_point_hierarchy(
-            xyz, strides, nsamples, with_up=up, banded=banded
+            xyz, strides, nsamples, with_up=up, banded=banded,
+            knn_method=knn_method,
         )
 
     def sm_levels():

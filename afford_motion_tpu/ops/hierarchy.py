@@ -21,10 +21,12 @@ from .pointops import batched_fps, batched_knn, interpolation_weights
 
 
 def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
-              banded_on: bool = False):
+              banded_on: bool = False, method: Optional[str] = None):
     """Windowed (banded) kNN on Morton-ordered data when requested (and
-    the shapes/backend support it), exact otherwise (ops/pallas/banded.py).
-    Bandedness is an explicit per-call argument — no process-global state."""
+    the shapes/backend support it), full kNN otherwise. Both bandedness
+    and the kNN method are explicit per-call arguments — no process-global
+    state. ``method='exact'`` is the bit-exact reference-parity path
+    (no Pallas packed-bits kernel, no approx_min_k)."""
     from .pallas import banded
 
     if (
@@ -33,7 +35,7 @@ def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
         and banded.knn_supports(query.shape[1], support.shape[1], k)
     ):
         return banded.knn_banded(query, support, k)
-    return batched_knn(query, support, k)
+    return batched_knn(query, support, k, method)
 
 
 @struct.dataclass
@@ -67,6 +69,7 @@ def _level_geom(
     with_up: bool,
     banded: bool = False,
     sort_fps: bool = False,
+    knn_method: Optional[str] = None,
 ) -> LevelGeometry:
     """Batched geometry for one downsampling step ((B, N, 3) arrays)."""
     n = parent_xyz.shape[1]
@@ -89,13 +92,13 @@ def _level_geom(
             # in selection order (tests/test_golden_parity.py).
             fps_idx = jnp.sort(fps_idx, axis=-1)
         xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
-        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded)
+        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded, knn_method)
 
-    knn_idx, _ = _knn_auto(xyz, xyz, nsample, banded)
+    knn_idx, _ = _knn_auto(xyz, xyz, nsample, banded, knn_method)
 
     up_idx = up_weight = None
     if with_up and stride != 1:
-        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3, banded)
+        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3, banded, knn_method)
         up_weight = interpolation_weights(up_dist)
 
     return LevelGeometry(
@@ -120,6 +123,7 @@ def build_point_hierarchy(
     with_up: bool = True,
     banded: bool = False,
     sort_fps: bool = False,
+    knn_method: Optional[str] = None,
 ) -> List[LevelGeometry]:
     """Jit-compiled wrapper (eager execution of the FPS/kNN cascade would
     dispatch op-by-op, which is pathological over a remote TPU).
@@ -130,13 +134,13 @@ def build_point_hierarchy(
     return list(
         _build_point_hierarchy(
             xyz, tuple(strides), tuple(nsamples), with_up=with_up,
-            banded=banded, sort_fps=sort_fps,
+            banded=banded, sort_fps=sort_fps, knn_method=knn_method,
         )
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "nsamples", "with_up", "banded", "sort_fps")
+    jax.jit, static_argnames=("strides", "nsamples", "with_up", "banded", "sort_fps", "knn_method")
 )
 def _build_point_hierarchy(
     xyz: jnp.ndarray,
@@ -146,6 +150,7 @@ def _build_point_hierarchy(
     with_up: bool = True,
     banded: bool = False,
     sort_fps: bool = False,
+    knn_method: Optional[str] = None,
 ) -> List[LevelGeometry]:
     """Build the full hierarchy for a batch of clouds, (B, N, 3).
 
@@ -159,7 +164,7 @@ def _build_point_hierarchy(
     # half-precision wire inputs: FPS/kNN distance math needs f32
     parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
     for stride, nsample in zip(strides, nsamples):
-        geom = _level_geom(parent, stride, nsample, with_up, banded, sort_fps)
+        geom = _level_geom(parent, stride, nsample, with_up, banded, sort_fps, knn_method)
         levels.append(geom)
         parent = geom.xyz
     return levels
@@ -174,6 +179,7 @@ def build_point_hierarchy_from_fps(
     prefix: str = "geo",
     with_up: bool = True,
     banded: bool = False,
+    knn_method: Optional[str] = None,
 ) -> List[LevelGeometry]:
     """Rebuild the hierarchy from cached FPS indices only, recomputing all
     kNN / up-interpolation on device.
@@ -196,11 +202,11 @@ def build_point_hierarchy_from_fps(
         else:
             fps_idx = arrays[f"{prefix}{li}_fps_idx"].astype(jnp.int32)
             lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
-            down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded)
-        knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded)
+            down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded, knn_method)
+        knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded, knn_method)
         up_idx = up_weight = None
         if with_up and stride != 1:
-            up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded)
+            up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded, knn_method)
             up_weight = interpolation_weights(up_dist)
         levels.append(LevelGeometry(
             xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,

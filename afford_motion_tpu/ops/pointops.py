@@ -199,20 +199,24 @@ def interpolation_weights(sqrt_dist: jnp.ndarray) -> jnp.ndarray:
 
 
 # Batched wrappers -----------------------------------------------------------
-@functools.partial(jax.jit, static_argnums=(2,))
-def batched_knn(query: jnp.ndarray, support: jnp.ndarray, k: int):
+@functools.partial(jax.jit, static_argnums=(2, 3))
+def batched_knn(query: jnp.ndarray, support: jnp.ndarray, k: int,
+                method: Optional[str] = None):
     """(B, m, 3), (B, n, 3) -> idx (B, m, k), dist (B, m, k).
 
     On TPU, large aligned shapes use the fused Pallas distance+top-k kernel
-    (exact, VMEM-resident — the XLA path round-trips the full distance
+    (near-exact — distances quantized to ~2^-11 relative by the packed
+    index bits, VMEM-resident; the XLA path round-trips the full distance
     matrix through HBM); everything else falls back to the chunked XLA
-    path."""
-    if jax.default_backend() == "tpu":
+    path. ``method='exact'`` bypasses the Pallas kernel AND approx_min_k —
+    the bit-exact reference-parity path (``model.knn_exact`` threads it
+    here via the hierarchy builders)."""
+    if method != "exact" and jax.default_backend() == "tpu":
         from .pallas import knn as pknn
 
         if pknn.supports(query.shape[1], support.shape[1], k):
             return pknn.knn_pallas(query, support, k)
-    return jax.vmap(lambda q, s: knn(q, s, k))(query, support)
+    return jax.vmap(lambda q, s: knn(q, s, k, method=method))(query, support)
 
 
 def batched_fps(points: jnp.ndarray, num_samples: int) -> jnp.ndarray:
