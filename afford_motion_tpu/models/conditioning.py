@@ -83,7 +83,13 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
 
     def levels_for(prefix, strides, nsamples, up):
         if f"{prefix}0_knn_idx" in cond:      # full geometry cache
-            return geometry_from_arrays(cond, xyz, len(strides), prefix=prefix)
+            # ``banded`` is only ever set for fps-wire data whose cached
+            # indices come from the banded windowed kNN (the device-store
+            # geometry cache), so it transfers to the cached-index gathers;
+            # offline exact caches ride with use_banded=False
+            return geometry_from_arrays(
+                cond, xyz, len(strides), prefix=prefix, banded=banded
+            )
         if f"{prefix}1_fps_idx" in cond:      # fps-only wire: kNN on device
             return build_point_hierarchy_from_fps(
                 xyz, cond, strides, nsamples, prefix=prefix, with_up=up,

@@ -241,11 +241,17 @@ def geometry_to_arrays(levels: List[LevelGeometry], prefix: str = "geo") -> dict
 
 
 def geometry_from_arrays(
-    arrays: dict, xyz: jnp.ndarray, num_levels: int, prefix: str = "geo"
+    arrays: dict, xyz: jnp.ndarray, num_levels: int, prefix: str = "geo",
+    banded: bool = False,
 ) -> List[LevelGeometry]:
     """Rebuild LevelGeometry from cached index arrays + the (augmented)
     level-0 coordinates: per-level xyz is re-gathered through the cached
-    FPS chains."""
+    FPS chains.
+
+    ``banded=True`` marks the cached indices as produced by the banded
+    windowed kNN (device-store geometry cache on Morton-sorted clouds) so
+    neighbourhood gathers may use the banded one-hot-matmul kernels;
+    offline caches from exact kNN (prepare.py geometry) keep the default."""
     levels = []
     parent_xyz = xyz
     for li in range(num_levels):
@@ -263,7 +269,8 @@ def geometry_from_arrays(
             fps_idx=None if fps_idx is None else fps_idx.astype(jnp.int32),
             down_knn_idx=None if get("down_knn_idx") is None else get("down_knn_idx").astype(jnp.int32),
             up_idx=None if get("up_idx") is None else get("up_idx").astype(jnp.int32),
-            up_weight=get("up_weight"),
+            up_weight=None if get("up_weight") is None else get("up_weight").astype(jnp.float32),
+            banded=banded,
         ))
         parent_xyz = lvl_xyz
     return levels

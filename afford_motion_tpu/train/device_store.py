@@ -54,6 +54,53 @@ logger = get_logger()
 
 MAX_BYTES = int(float(os.environ.get("AM_DEVICE_STORE_MAX_GB", "8")) * (1 << 30))
 
+# Host-trivial CFG transforms (data/transforms.py:40-88): each is exactly
+# ONE np.random draw per item, so the device store replays them in chain
+# order inside draw_batch (RNG-stream parity with the dataset __getitem__)
+# and ships the outcomes as (B, 1) bool cond flags. This notably covers the
+# FLAGSHIP t2m stage-2 chain ['RandomEraseLang','RandomEraseContact',
+# 'NumpyToTensor'] (scripts/t2m_contact_motion/train.sh; reference
+# scripts/t2m_contact_motion/train.sh uses the same transforms).
+_FLAG_TRANSFORMS = {
+    "RandomMaskLang": ("c_text_mask", "random_mask_prob"),
+    "RandomEraseLang": ("c_text_erase", "random_mask_prob"),
+    "RandomMaskContact": ("c_pc_mask", "random_mask_prob_pc"),
+    "RandomEraseContact": ("c_pc_erase", "random_mask_prob_pc"),
+    "RandomSetLangNull": ("__lang_null__", "random_mask_prob"),
+    # RandomSetContactNull is intentionally NOT here: it zeroes the xyz
+    # cloud itself, which the host path feeds into the geometry build —
+    # incompatible with the fps wire / cached hierarchy. Chains using it
+    # fall back to the host pipeline.
+}
+
+
+def _flag_chain(dataset, base=("NumpyToTensor",)):
+    """Ordered (key, prob) draw plan for the CFG flag transforms in the
+    dataset's train chain; None if the chain contains anything beyond
+    ``base`` + flag transforms (caller falls back to the host pipeline)."""
+    tcfg = dict(dataset.cfg.get("transform_cfg", {}) or {})
+    chain = []
+    for t in list(dataset.cfg.get("train_transforms", [])):
+        if t in base:
+            continue
+        if t not in _FLAG_TRANSFORMS:
+            return None
+        key, pk = _FLAG_TRANSFORMS[t]
+        chain.append((key, float(tcfg.get(pk, 0.0) or 0.0)))
+    return chain
+
+
+def _draw_flags(chain, j, captions, flags):
+    """Replay the flag-transform chain for item j (one np.random draw per
+    transform, exactly like Compose would)."""
+    for key, prob in chain:
+        draw = bool(np.random.rand() < prob)
+        if key == "__lang_null__":
+            if draw:
+                captions[j] = ""
+        else:
+            flags[key][j, 0] = draw
+
 
 class DeviceStore:
     """Host-side description + device arrays of the resident corpus."""
@@ -106,9 +153,10 @@ class DeviceStore:
         fields = packed.fields
         if "xyz16" not in fields or "dist16" not in fields:
             return None
-        # transforms must be trivial (flagship H3D stage-2: NumpyToTensor)
-        tlist = list(dataset.cfg.get("train_transforms", []))
-        if any(t != "NumpyToTensor" for t in tlist):
+        # transforms: NumpyToTensor + any CFG flag transforms (replayed
+        # host-side in draw_batch); anything else -> host pipeline
+        flag_chain = _flag_chain(dataset)
+        if flag_chain is None:
             return None
         if str(dataset.cfg.get("geometry_wire", "full")) != "fps":
             return None
@@ -167,6 +215,7 @@ class DeviceStore:
             "motion_dim": int(D),
             "mix": float(dataset.cfg.get("mix_train_ratio", 0.0) or 0.0) > 0
             and bool(getattr(dataset, "pred_contact_dict", None)),
+            "flag_chain": flag_chain,
         }
         return cls(arrays, meta)
 
@@ -268,6 +317,112 @@ class DeviceStore:
         }
         return cls(arrays, meta)
 
+    # ---------------------------------------------------- geometry cache
+    def add_geometry_cache(self, model, max_bytes: int = MAX_BYTES,
+                           chunk: int = 64) -> bool:
+        """Precompute the FULL per-scene hierarchy (kNN / down-kNN / 3-NN
+        up) from the stored fps wire ONCE at upload time and keep it in
+        HBM, so the train step's ``add_hierarchies`` takes the cached
+        branch instead of re-running the kNN cascade every step (~14.5ms
+        of the 105ms flagship step, measured tools/step_breakdown.py).
+
+        Valid because every index field is rigid-invariant — the on-device
+        rotation augmentations never change neighborhoods (see the
+        "rigid-invariant caching" note in ops/hierarchy.py). The cache is
+        computed with the SAME kernels the in-step rebuild would use
+        (banded windowed kNN when ``model.use_banded``), so training
+        numerics are unchanged — only recomputed once instead of per step.
+
+        Budget-gated against ``max_bytes`` (existing store + cache);
+        ``AM_DEVICE_GEO=off`` disables. Returns True when cached."""
+        if os.environ.get("AM_DEVICE_GEO", "auto") == "off":
+            return False
+        from ..models.cdm import CDM
+        from ..models.cmdm import CMDM
+        from ..models.pointtransformer import SEG_NSAMPLES, SEG_STRIDES
+        from ..models.scene_map import SCENEMAP_NSAMPLES, SCENEMAP_STRIDES
+        from ..ops.hierarchy import (
+            build_point_hierarchy_from_fps, geometry_to_arrays,
+        )
+
+        with_up = bool(getattr(model, "needs_up_interpolation", True))
+        specs = []
+        if isinstance(model, CMDM):
+            specs.append(("geo_sm", SCENEMAP_STRIDES, SCENEMAP_NSAMPLES, with_up))
+        if isinstance(model, CDM):
+            if model.needs_seg_hierarchy:
+                specs.append(("geo_seg", SEG_STRIDES, SEG_NSAMPLES, True))
+            if model.needs_pt_hierarchy:
+                specs.append(("geo_sm", SCENEMAP_STRIDES, SCENEMAP_NSAMPLES,
+                              with_up))
+        specs = [s for s in specs if f"{s[0]}1_fps_idx" in self.arrays]
+        if not specs:
+            return False
+
+        banded = bool(getattr(model, "use_banded", False))
+        knn_method = "exact" if getattr(model, "knn_exact", False) else None
+        xyz = self.arrays["xyz16"]
+        n_sc = xyz.shape[0]
+
+        def _idx_dtype(n_parent):
+            return np.int16 if n_parent < (1 << 15) else np.int32
+
+        new_host: Dict[str, np.ndarray] = {}
+        for prefix, strides, nsamples, up in specs:
+            if f"{prefix}0_knn_idx" in self.arrays:
+                continue  # already cached (e.g. CDM pt + CMDM share geo_sm)
+            fps_keys = [
+                k for k in self.arrays
+                if k.startswith(prefix) and k.endswith("_fps_idx")
+            ]
+
+            @jax.jit
+            def geo_chunk(xc, fps, _p=prefix, _s=tuple(strides),
+                          _n=tuple(nsamples), _u=up):
+                levels = build_point_hierarchy_from_fps(
+                    xc.astype(jnp.float32), fps, _s, _n, prefix=_p,
+                    with_up=_u, banded=banded, knn_method=knn_method,
+                )
+                return geometry_to_arrays(levels, prefix=_p)
+
+            outs: Dict[str, list] = {}
+            for a in range(0, n_sc, chunk):
+                b = min(a + chunk, n_sc)
+                fps = {k: self.arrays[k][a:b] for k in fps_keys}
+                got = geo_chunk(xyz[a:b], fps)
+                for k, v in got.items():
+                    if k.endswith("_fps_idx"):
+                        continue  # already stored (the wire itself)
+                    arr = np.asarray(v)
+                    if k.endswith("_idx"):
+                        arr = arr.astype(_idx_dtype(int(arr.max(initial=0)) + 1))
+                    outs.setdefault(k, []).append(arr)
+            for k, parts in outs.items():
+                new_host[k] = np.concatenate(parts, axis=0)
+
+        if not new_host:
+            return False
+        existing = sum(
+            int(np.prod(v.shape)) * v.dtype.itemsize
+            for v in self.arrays.values()
+        )
+        add = sum(v.nbytes for v in new_host.values())
+        if existing + add > max_bytes:
+            logger.info(
+                f"device store: geometry cache {add / 1e9:.2f}GB would "
+                f"exceed the {max_bytes / 1e9:.1f}GB budget; keeping the "
+                "in-step kNN rebuild"
+            )
+            return False
+        logger.info(
+            f"device store: caching full hierarchy geometry "
+            f"({add / 1e9:.2f}GB for {n_sc} scenes) in HBM"
+        )
+        for k, v in new_host.items():
+            self.arrays[k] = jnp.asarray(v)
+        jax.block_until_ready([self.arrays[k] for k in new_host])
+        return True
+
     # ------------------------------------------------------------ host side
     def draw_batch(self, dataset, item_ids) -> Dict[str, np.ndarray]:
         """Host-side randomness for a batch of dataset item ids: caption
@@ -287,6 +442,9 @@ class DeviceStore:
             P, C = self.arrays["dist16"].shape[1:]
             mix_contact = np.zeros((B, P, C), np.float16)
             mix_mask = np.zeros((B,), bool)
+        chain = self.meta.get("flag_chain") or []
+        flags = {k: np.zeros((B, 1), bool) for k, _ in chain
+                 if k != "__lang_null__"}
         u = self.meta["unit_length"]
         for j, idx in enumerate(item_ids):
             name = dataset.name_list[dataset.indices[idx]]
@@ -310,6 +468,9 @@ class DeviceStore:
                         np.random.choice(cands)
                     ).squeeze(0).astype(np.float16)
                     mix_mask[j] = True
+            # CFG flag transforms run LAST in __getitem__ (the Compose
+            # chain) — replay them here in the same np.random order
+            _draw_flags(chain, j, captions, flags)
         out = {
             "item_row": np.array(
                 [dataset.indices[i] for i in item_ids], dtype=np.int32
@@ -321,6 +482,7 @@ class DeviceStore:
         if mix_contact is not None:
             out["mix_contact"] = mix_contact
             out["mix_mask"] = mix_mask
+        out.update(flags)
         return out
 
     def _draw_batch_motionx(self, dataset, item_ids) -> Dict[str, np.ndarray]:
@@ -406,8 +568,11 @@ def make_assemble_fn(store: DeviceStore):
             "c_pc_xyz": jnp.take(A["xyz16"], s_rows, axis=0),
             "c_pc_contact": contact.astype(jnp.float16),
         }
+        for k in ("c_text_mask", "c_text_erase", "c_pc_mask", "c_pc_erase"):
+            if k in batch:                      # CFG flags, (B, 1) bool
+                cond[k] = batch[k]
         for k, v in A.items():
-            if "_fps_idx" in k:
+            if k.startswith("geo_"):  # fps wire + cached hierarchy fields
                 cond[k] = jnp.take(v, s_rows, axis=0)
         return x, cond
 
@@ -474,7 +639,7 @@ def _make_assemble_motionx(store: DeviceStore):
             "c_pc_contact": contact.astype(jnp.float16),
         }
         for k, v in A.items():
-            if "_fps_idx" in k:
+            if k.startswith("geo_"):  # fps wire + cached hierarchy fields
                 cond[k] = jnp.take(v, rows, axis=0)
         return x, cond
 
@@ -648,7 +813,7 @@ def _make_assemble_contact(store: DeviceStore):
                 feat = jnp.zeros(xyz.shape[:-1] + (0,), dtype=jnp.float32)
             cond["c_pc_feat"] = feat.astype(jnp.float16)
         for k, v in A.items():
-            if "_fps_idx" in k:
+            if k.startswith("geo_"):  # fps wire + cached hierarchy fields
                 cond[k] = jnp.take(v, s_rows, axis=0)
         return x.astype(jnp.float32), cond
 

@@ -244,6 +244,113 @@ def test_train_cli_engages_device_store(tmp_path):
     assert "device store: uploading" in log
 
 
+def test_flag_transforms_supported_and_rng_parity(store_env):
+    """The FLAGSHIP t2m stage-2 chain (RandomEraseLang/RandomEraseContact)
+    must be accepted by the store, and the replayed flag draws must match
+    the dataset's transform chain bit-for-bit (same np.random stream)."""
+    data_dir = store_env[0].data_dir
+    cfg = _h3d_cfg(
+        data_dir, geometry_wire="fps", half_wire_x=True,
+        train_transforms=["RandomEraseLang", "RandomEraseContact",
+                          "NumpyToTensor"],
+        transform_cfg={"gravity_dim": 2, "random_mask_prob": 0.5,
+                       "random_mask_prob_pc": 0.5},
+    )
+    ds = create_dataset(cfg, "train")
+    store = DeviceStore.try_build(ds)
+    assert store is not None
+    assert store.meta["flag_chain"] == [("c_text_erase", 0.5),
+                                        ("c_pc_erase", 0.5)]
+    te = _HashText()
+    assemble = make_assemble_fn(store)
+    hit = {"c_text_erase": 0, "c_pc_erase": 0}
+    for i in range(4):
+        random.seed(300 + i); np.random.seed(400 + i)
+        item = ds[i]
+        batch = {k: (np.asarray(v)[None] if isinstance(v, np.ndarray) else [v])
+                 for k, v in item.items()}
+        batch["c_text"] = [item["c_text"]]
+        _, cond_ref = host_prepare_cond(batch, te)
+
+        random.seed(300 + i); np.random.seed(400 + i)
+        meta = store.draw_batch(ds, [i])
+        meta["text_emb"] = te.encode(meta.pop("c_text"))[:, None, :].astype(np.float16)
+        item_row = meta.pop("item_row")
+        x, cond = assemble({"item_row": jnp.asarray(item_row),
+                            **{k: jnp.asarray(v) for k, v in meta.items()}})
+        for k in ("c_text_erase", "c_pc_erase"):
+            assert k in cond and k in cond_ref
+            np.testing.assert_array_equal(np.asarray(cond[k]), cond_ref[k])
+            hit[k] += int(np.asarray(cond[k]).any())
+        np.testing.assert_array_equal(np.asarray(cond["c_pc_xyz"]),
+                                      cond_ref["c_pc_xyz"])
+    # p=0.5 over 4 draws: overwhelmingly likely both outcomes appear;
+    # guards against all-False trivially "matching"
+    assert any(v > 0 for v in hit.values())
+
+    # a chain the store cannot replay -> host-pipeline fallback
+    cfg_bad = _h3d_cfg(
+        data_dir, geometry_wire="fps", half_wire_x=True,
+        train_transforms=["RandomSetContactNull", "NumpyToTensor"],
+        transform_cfg={"gravity_dim": 2, "random_mask_prob_pc": 0.5},
+    )
+    assert DeviceStore.try_build(create_dataset(cfg_bad, "train")) is None
+
+
+def test_device_geometry_cache_matches_in_step_rebuild(store_env):
+    """add_geometry_cache precomputes the hierarchy ONCE with the same
+    kernels the in-step rebuild would use — the assembled cached cond must
+    reproduce the fps-wire rebuild exactly (indices) / to fp tolerance
+    (regathered xyz, up weights)."""
+    ds, store = store_env
+    import jax.numpy as jnp
+    from afford_motion_tpu.models.cmdm import CMDM
+    from afford_motion_tpu.models.conditioning import add_hierarchies
+
+    # private copy: the module-scoped store is shared across tests
+    st = DeviceStore(dict(store.arrays), dict(store.meta))
+    C = int(st.arrays["dist16"].shape[-1])
+    model = CMDM(
+        motion_dim=int(st.arrays["motion16"].shape[-1]), latent_dim=32,
+        time_emb_dim=32, text_feat_dim=16, contact_dim=C,
+        planes=(8, 16, 32, 64), blocks=(2, 2, 2, 2), arch="trans_enc",
+        num_layers=(1, 1), num_heads=4, dim_feedforward=32,
+    )
+    assert st.add_geometry_cache(model)
+    assert "geo_sm0_knn_idx" in st.arrays
+    assemble = make_assemble_fn(st)
+    te = _HashText()
+
+    random.seed(7); np.random.seed(7)
+    meta = st.draw_batch(ds, [0, 1, 2])
+    meta["text_emb"] = te.encode(meta.pop("c_text"))[:, None, :].astype(np.float16)
+    item_row = jnp.asarray(meta.pop("item_row"))
+    _, cond = assemble({"item_row": item_row,
+                        **{k: jnp.asarray(v) for k, v in meta.items()}})
+    assert "geo_sm0_knn_idx" in cond
+
+    # fps-wire leg: strip the cached fields, keep the fps indices
+    cond_wire = {k: v for k, v in cond.items()
+                 if not k.startswith("geo_") or k.endswith("_fps_idx")}
+    h_cached = add_hierarchies(model, cond)["levels_sm"]
+    h_wire = add_hierarchies(model, cond_wire)["levels_sm"]
+    assert len(h_cached) == len(h_wire)
+    for lc, lw in zip(h_cached, h_wire):
+        np.testing.assert_array_equal(np.asarray(lc.knn_idx), np.asarray(lw.knn_idx))
+        np.testing.assert_allclose(
+            np.asarray(lc.xyz), np.asarray(lw.xyz), atol=1e-6
+        )
+        for f in ("fps_idx", "down_knn_idx", "up_idx"):
+            a, b = getattr(lc, f), getattr(lw, f)
+            assert (a is None) == (b is None)
+            if a is not None:
+                np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        if lc.up_weight is not None:
+            np.testing.assert_allclose(
+                np.asarray(lc.up_weight), np.asarray(lw.up_weight), atol=1e-5
+            )
+
+
 def test_h3d_stage1_store_matches_host(store_env):
     ds2_cfg_dir = store_env[0].data_dir
     cfg = _h3d_cfg(
