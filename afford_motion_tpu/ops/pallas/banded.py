@@ -99,12 +99,7 @@ def gather_supports(m: int, n: int, c: int, k: int, itemsize: int) -> bool:
     x_bytes = n * c * itemsize
     onehot_bytes = TQ * k * s * itemsize
     out_bytes = TQ * k * c * itemsize
-    # scatter (the VJP) holds the full (n, c) f32 accumulator in VMEM
-    accum_bytes = n * c * 4
-    return max(
-        x_bytes + onehot_bytes + 2 * out_bytes,
-        accum_bytes + onehot_bytes + out_bytes,
-    ) <= 12 * 1024 * 1024
+    return x_bytes + onehot_bytes + 2 * out_bytes <= 12 * 1024 * 1024
 
 
 # ----------------------------------------------------------------- kNN
@@ -199,27 +194,15 @@ def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
 
 
 def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
-    """Transposed one-hot matmul, accumulated across the query-tile grid
-    dimension directly into the (N, C) f32 output block in VMEM.
-
-    The TPU grid runs sequentially on one core, so all G query tiles of a
-    batch row revisit the same output block: zero it at t == 0, then add
-    each tile's (S, C) window contribution at its window offset — no
-    (B, G, S, C) tile materialization in HBM and no host-graph fold."""
+    """Transposed one-hot matmul: o (1, 1, S, C) per-tile window slice."""
     t = pl.program_id(1)
     start = pl.multiple_of(starts_ref[t], 128)
     g = g_ref[0]                                            # (TQ*K, C)
     onehot = _onehot(idx_ref[0], start, K, s, g.dtype)
-
-    @pl.when(t == 0)
-    def _():
-        o_ref[0] = jnp.zeros_like(o_ref[0])
-
-    part = jax.lax.dot_general(
+    o_ref[0, 0] = jax.lax.dot_general(
         onehot, g, (((0,), (0,)), ((), ())),                # (S, C)
         preferred_element_type=jnp.float32,
-    )
-    o_ref[0, pl.ds(start, s), :] += part
+    ).astype(o_ref.dtype)
 
 
 def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
@@ -251,12 +234,10 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarra
     starts_arr = jnp.asarray(starts, dtype=jnp.int32)
     G = M // TQ
     # Scatter-add accumulates in f32 regardless of g.dtype: the per-tile
-    # matmul partials sum many bf16 terms per support row, and this is
-    # the hottest backward op (matching the row-loop kernel's deliberate
-    # f32 scatter, ops/pallas/gather.py). Accumulation happens inside the
-    # kernel across the t grid axis (sequential on TPU) — the full (n, C)
-    # f32 accumulator lives in VMEM per batch row.
-    dx = pl.pallas_call(
+    # matmul partials and the overlapping-window fold sum many bf16 terms
+    # per support row, and this is the hottest backward op (matching the
+    # row-loop kernel's deliberate f32 scatter, ops/pallas/gather.py).
+    tiles = pl.pallas_call(
         functools.partial(_scatter_kernel, K, s),
         grid=(B, G),
         in_specs=[
@@ -266,11 +247,15 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarra
             pl.BlockSpec((1, TQ * K, C), lambda b, t: (b, t, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, n, C), lambda b, t: (b, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, s, C), lambda b, t: (b, t, 0, 0),
                                memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((B, n, C), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((B, G, s, C), jnp.float32),
         interpret=_interpret(),
     )(starts_arr, idx, g.reshape(B, M * K, C))
+    # fold overlapping per-tile windows with static dynamic-update adds
+    dx = jnp.zeros((B, n, C), dtype=jnp.float32)
+    for t, st in enumerate(starts):
+        dx = dx.at[:, st: st + s, :].add(tiles[:, t])
     return dx.astype(g.dtype)
 
 

@@ -35,15 +35,19 @@ BATCH = int(os.environ.get("BENCH_BATCH", 32))
 NUM_POINTS = int(os.environ.get("BENCH_POINTS", 8192))
 STEPS = int(os.environ.get("BENCH_STEPS", 20))
 WARMUP = int(os.environ.get("BENCH_WARMUP", 3))
-# 2 = fps-only wire, kNN recomputed on device (the SHIPPED production
-# path: configs default geometry_wire=fps); 1 = full precomputed geometry
-# cache on the wire; 0 = build FPS/kNN in-step.
-GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 2))
+# 1 = full precomputed geometry as device-resident operands — the SHIPPED
+# production path: the device store caches the whole per-scene hierarchy
+# in HBM at upload time (train/device_store.py add_geometry_cache), so
+# steps never rebuild kNN; 2 = fps-only wire, kNN recomputed on device
+# (the shipped fallback when the cache exceeds the HBM budget);
+# 0 = build FPS/kNN fully in-step.
+GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 1))
 # computation dtype (bfloat16 = the shipped mixed-precision recipe:
 # f32 params/norms/softmax/head, bf16 activations)
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # 1 = banded windowed-neighborhood kernels on Morton-sorted clouds (the
-# shipped default for Morton-sorted packed data; pairs with GEO_CACHE=2)
+# shipped default for Morton-sorted packed data; the GEO_CACHE=1 cache is
+# computed with the same banded kernels, GEO_CACHE=2 runs them in-step)
 BANDED = int(os.environ.get("BENCH_BANDED", 1))
 # 1 = also run the secondary metrics (CDM train + DDPM sampling chain)
 FULL = int(os.environ.get("BENCH_FULL", 1))
