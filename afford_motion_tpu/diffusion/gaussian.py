@@ -28,6 +28,15 @@ from jax import lax
 from .losses import discretized_gaussian_log_likelihood, mean_flat, normal_kl, sum_flat
 from .schedule import get_named_beta_schedule, respaced_betas, space_timesteps
 
+
+def _scan_unroll() -> int:
+    """Unroll factor for the sampling-chain scans (AM_SCAN_UNROLL, default
+    1). Unrolling trades compile time and code size for less per-iteration
+    loop overhead; numerics are unchanged (same ops, same order)."""
+    import os
+
+    return max(1, int(os.environ.get("AM_SCAN_UNROLL", "1") or 1))
+
 ModelFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
 
@@ -334,7 +343,7 @@ class GaussianDiffusion:
             return out["sample"], None
 
         timesteps = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
-        x, _ = lax.scan(body, x, timesteps)
+        x, _ = lax.scan(body, x, timesteps, unroll=_scan_unroll())
         return x
 
     def ddim_sample(
@@ -416,7 +425,7 @@ class GaussianDiffusion:
             return out["sample"], None
 
         timesteps = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
-        x, _ = lax.scan(body, x, timesteps)
+        x, _ = lax.scan(body, x, timesteps, unroll=_scan_unroll())
         return x
 
     # ---------------------------------------------------------------- training

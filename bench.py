@@ -241,16 +241,14 @@ def bench_flagship(baselines: dict) -> None:
     )
 
 
-def bench_cdm(baselines: dict) -> None:
-    """Stage-1 CDM-Perceiver train throughput, reference batch 64
-    (scripts/t2m_contact/train_ddp.sh: batch_size=32 x 2 GPUs)."""
+def _make_cdm(dtype):
+    """The published stage-1 CDM-Perceiver config (configs/model/cdm.yaml
+    arch_perceiver; scripts/t2m_contact/train.sh)."""
     import jax.numpy as jnp
 
     from afford_motion_tpu.models.cdm import CDM
 
-    B, N = 64, NUM_POINTS
-    # the published Perceiver config (configs/model/cdm.yaml arch_perceiver)
-    model = CDM(
+    return CDM(
         contact_dim=6, time_emb_dim=128, text_feat_dim=512,
         use_scene_model=False, arch="Perceiver", last_dim=256,
         arch_cfg=(
@@ -265,10 +263,13 @@ def bench_cdm(baselines: dict) -> None:
             ("decoder_num_heads", 8), ("decoder_widening_factor", 1),
             ("decoder_dropout", 0.1), ("decoder_residual_dropout", 0.0),
         ),
-        dtype=jnp.dtype(DTYPE), use_banded=bool(BANDED),
+        dtype=jnp.dtype(dtype), use_banded=bool(BANDED),
     )
-    diffusion = _diffusion(500)
-    rng = np.random.default_rng(1)
+
+
+def _cdm_batch(rng, B, N):
+    import jax.numpy as jnp
+
     xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
     if BANDED:
         from afford_motion_tpu.ops.morton import morton_order
@@ -280,6 +281,17 @@ def bench_cdm(baselines: dict) -> None:
         "c_pc_xyz": jnp.asarray(xyz),
         "c_pc_feat": jnp.asarray(rng.random(size=(B, N, 3)).astype(np.float32)),
     }
+    return x, cond
+
+
+def bench_cdm(baselines: dict) -> None:
+    """Stage-1 CDM-Perceiver train throughput, reference batch 64
+    (scripts/t2m_contact/train_ddp.sh: batch_size=32 x 2 GPUs)."""
+    B, N = 64, NUM_POINTS
+    model = _make_cdm(DTYPE)
+    diffusion = _diffusion(500)
+    rng = np.random.default_rng(1)
+    x, cond = _cdm_batch(rng, B, N)
     step_fn, state, x, cond, _ = _init_train(model, diffusion, x, cond)
     steps_per_sec, _ = _time_train(step_fn, state, x, cond)
     _emit(
@@ -332,12 +344,57 @@ def bench_sampler(baselines: dict) -> None:
     )
 
 
+def bench_sampler_cdm(baselines: dict) -> None:
+    """Stage-1 500-step DDPM chain on CDM-Perceiver, batch 64 (the
+    reference test-protocol stage-1 config: diffusion.steps=500,
+    scripts/t2m_contact/train.sh) — VERDICT r1 asked for both chain
+    configs as driver-visible numbers."""
+    import jax
+
+    from afford_motion_tpu.models.conditioning import add_hierarchies
+    from afford_motion_tpu.train.sampling import make_sample_fn
+
+    import jax.numpy as jnp
+
+    model = _make_cdm(DTYPE)
+    diffusion = _diffusion(500)
+    rng = np.random.default_rng(3)
+    B, N = 64, NUM_POINTS
+    x, cond = _cdm_batch(rng, B, N)
+
+    cond_h = add_hierarchies(model, cond)
+    t0 = jnp.zeros((B,), dtype=jnp.int32)
+    variables = jax.jit(
+        lambda: model.init({"params": jax.random.PRNGKey(0)}, x, t0, cond_h,
+                           train=False)
+    )()
+    sample_fn = make_sample_fn(model, diffusion, clip_denoised=False)
+
+    def chain(key):
+        return sample_fn(variables, (B, N, 6), cond, key)
+
+    out = chain(jax.random.PRNGKey(0))
+    _sync(out)
+    reps = max(1, int(os.environ.get("BENCH_SAMPLE_REPS", 3)))
+    t_start = time.perf_counter()
+    for i in range(reps):
+        out = chain(jax.random.PRNGKey(i + 1))
+    _sync(out)
+    chains_per_sec = reps / (time.perf_counter() - t_start)
+    _emit(
+        f"cdm_h3d_sample_chains_per_sec_b{B}_t500", chains_per_sec,
+        "chains/sec", baselines,
+        samples_per_sec=round(chains_per_sec * B, 2), dtype=DTYPE,
+    )
+
+
 def main() -> None:
     baselines = _baselines()
     bench_flagship(baselines)
     if FULL:
         bench_cdm(baselines)
         bench_sampler(baselines)
+        bench_sampler_cdm(baselines)
 
 
 if __name__ == "__main__":
