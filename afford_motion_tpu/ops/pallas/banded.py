@@ -50,20 +50,24 @@ def _interpret() -> bool:
 
 TQ = 128  # query rows per tile (all level sizes are multiples of 128)
 
-# AM_BANDED_WINDOW overrides the W policy's l0 value (multiple of 128).
-# Smaller windows are faster but replace more true neighbors with in-window
-# ones: at N=8192, W=512 keeps ~94% of exact 8-NN, W=256 ~90%.
+# AM_BANDED_WINDOW sets the W policy's level-0 value (multiple of 128;
+# default 256). Smaller windows are faster but replace more true neighbors
+# with in-window ones: at N=8192, W=512 keeps ~94% of exact 8-NN, W=256
+# ~90%. The one-hot gather/scatter matmuls — the dominant step FLOPs —
+# scale with the window slice S, so W=256 measures 11.6 vs 10.7 flagship
+# steps/s against W=512, while the evaluator A/B (tools/metric_ab.py on
+# TPU) puts the W=256 banded leg at 0.18% APD vs the exact path — inside
+# the exact leg's own run-to-run spread. AM_BANDED_WINDOW=512 restores the
+# wider windows.
 import os as _os
 
-_W_CAP = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0)
+_W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 256
 
 
 def window_width(n_support: int) -> int:
-    """W policy: scale with support size, clamped, multiple of 128."""
-    w = max(128, min(1024, (n_support // 16) // 128 * 128))
-    if _W_CAP:
-        w = max(128, min(w, (_W_CAP // 128) * 128))
-    return w
+    """W policy: scale with support size, clamped to [128, W0] (W0 =
+    AM_BANDED_WINDOW, default 256), multiple of 128."""
+    return max(128, min((_W0 // 128) * 128, (n_support // 16) // 128 * 128))
 
 
 def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:

@@ -49,8 +49,12 @@ DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
 # shipped default for Morton-sorted packed data; the GEO_CACHE=1 cache is
 # computed with the same banded kernels, GEO_CACHE=2 runs them in-step)
 BANDED = int(os.environ.get("BENCH_BANDED", 1))
-# 1 = also run the secondary metrics (CDM train + DDPM sampling chain)
+# 1 = also run the secondary metrics (CDM train + DDPM sampling chains)
 FULL = int(os.environ.get("BENCH_FULL", 1))
+# >1 = measure the megabatch scan path (make_train_step steps_per_dispatch,
+# the TrainLoop's production default of 4): G optimizer steps per dispatch
+# over stacked (G, B, ...) operands, amortizing dispatch latency
+DISPATCH = int(os.environ.get("BENCH_DISPATCH", 1))
 
 BASELINE_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -217,6 +221,7 @@ def _time_train(step_fn, state, x, cond):
 
 def bench_flagship(baselines: dict) -> None:
     import jax
+    import jax.numpy as jnp
 
     model = _make_cmdm(DTYPE)
     diffusion = _diffusion(1000)
@@ -230,7 +235,24 @@ def bench_flagship(baselines: dict) -> None:
     key = jax.random.PRNGKey(0)
     flops = _flops_of(step_fn.lower(state, x, cond, key).compile())
 
-    steps_per_sec, _ = _time_train(step_fn, state, x, cond)
+    if DISPATCH > 1:
+        from afford_motion_tpu.train import make_train_step
+
+        G = DISPATCH
+        multi = make_train_step(model, diffusion, steps_per_dispatch=G)
+        xs = jnp.broadcast_to(x, (G,) + x.shape)
+        conds = {k: jnp.broadcast_to(v, (G,) + v.shape) for k, v in cond.items()}
+        m = None
+        for _ in range(WARMUP):
+            state, m = multi(state, xs, conds, key)
+        _sync(m["loss"])
+        t0 = time.perf_counter()
+        for _ in range(STEPS):
+            state, m = multi(state, xs, conds, key)
+        _sync(m["loss"])
+        steps_per_sec = STEPS * G / (time.perf_counter() - t0)
+    else:
+        steps_per_sec, _ = _time_train(step_fn, state, x, cond)
     mfu = steps_per_sec * flops / _peak_flops() if flops else 0.0
     _emit(
         f"cmdm_h3d_train_steps_per_sec_b{B}_n{N}", steps_per_sec, "steps/sec",
