@@ -191,7 +191,19 @@ def build_point_hierarchy_from_fps(
     bandwidth-bound input pipelines (remote TPU, modest host IO) shipping
     only ``geo_*_fps_idx`` and recomputing kNN here is a large net win.
     Runs under jit (called from add_hierarchies inside the train step).
+
+    PARTIAL caches compose: any ``{prefix}{li}_{knn_idx,down_knn_idx,
+    up_idx,up_weight}`` present in ``arrays`` is used as-is and only the
+    missing fields are recomputed — the device store's budget-gated
+    geometry cache keeps the cheap-to-store deep levels and lets level 0
+    rebuild here (train/device_store.py add_geometry_cache).
     """
+    def cached(li, field):
+        v = arrays.get(f"{prefix}{li}_{field}")
+        if v is None:
+            return None
+        return v.astype(jnp.float32 if field == "up_weight" else jnp.int32)
+
     levels = []
     parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
     for li, (stride, nsample) in enumerate(zip(strides, nsamples)):
@@ -202,12 +214,19 @@ def build_point_hierarchy_from_fps(
         else:
             fps_idx = arrays[f"{prefix}{li}_fps_idx"].astype(jnp.int32)
             lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
-            down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded, knn_method)
-        knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded, knn_method)
+            down_knn_idx = cached(li, "down_knn_idx")
+            if down_knn_idx is None:
+                down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded, knn_method)
+        knn_idx = cached(li, "knn_idx")
+        if knn_idx is None:
+            knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded, knn_method)
         up_idx = up_weight = None
         if with_up and stride != 1:
-            up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded, knn_method)
-            up_weight = interpolation_weights(up_dist)
+            up_idx = cached(li, "up_idx")
+            up_weight = cached(li, "up_weight")
+            if up_idx is None or up_weight is None:
+                up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded, knn_method)
+                up_weight = interpolation_weights(up_dist)
         levels.append(LevelGeometry(
             xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,
             down_knn_idx=down_knn_idx, up_idx=up_idx, up_weight=up_weight,

@@ -406,21 +406,57 @@ class DeviceStore:
             int(np.prod(v.shape)) * v.dtype.itemsize
             for v in self.arrays.values()
         )
-        add = sum(v.nbytes for v in new_host.values())
-        if existing + add > max_bytes:
+        # Budget-aware PARTIAL caching, deepest levels first: at real
+        # corpus scale (H3D ~24k clouds) the full cache is ~7GB and may
+        # not fit next to the corpus. Deep levels are tiny (the per-scene
+        # bytes shrink ~4x per level) while level 0's kNN is ~40% of the
+        # cache, so we keep whole levels from the deepest up and stop at
+        # the first that overflows; build_point_hierarchy_from_fps
+        # consumes any cached subset and recomputes only what is missing.
+        def level_of(key):
+            rest = key[len(prefix_of(key)):]
+            return int(rest.split("_")[0])
+
+        def prefix_of(key):
+            for p in ("geo_sm", "geo_seg", "geo"):
+                if key.startswith(p) and key[len(p)].isdigit():
+                    return p
+            return key.split("_")[0]
+
+        levels_bytes: Dict[tuple, int] = {}
+        for k, v in new_host.items():
+            levels_bytes.setdefault((prefix_of(k), level_of(k)), 0)
+            levels_bytes[(prefix_of(k), level_of(k))] += v.nbytes
+        kept_groups = set()
+        budget_left = max_bytes - existing
+        for grp in sorted(levels_bytes, key=lambda g: -g[1]):  # deepest first
+            if levels_bytes[grp] <= budget_left:
+                kept_groups.add(grp)
+                budget_left -= levels_bytes[grp]
+            else:
+                break  # keep a contiguous deep suffix of levels only
+        kept = {k: v for k, v in new_host.items()
+                if (prefix_of(k), level_of(k)) in kept_groups}
+        if not kept:
             logger.info(
-                f"device store: geometry cache {add / 1e9:.2f}GB would "
-                f"exceed the {max_bytes / 1e9:.1f}GB budget; keeping the "
+                f"device store: geometry cache "
+                f"({sum(v.nbytes for v in new_host.values()) / 1e9:.2f}GB) "
+                f"exceeds the {max_bytes / 1e9:.1f}GB budget; keeping the "
                 "in-step kNN rebuild"
             )
             return False
+        dropped = len(new_host) - len(kept)
+        add = sum(v.nbytes for v in kept.values())
         logger.info(
-            f"device store: caching full hierarchy geometry "
-            f"({add / 1e9:.2f}GB for {n_sc} scenes) in HBM"
+            f"device store: caching hierarchy geometry "
+            f"({add / 1e9:.2f}GB, {len(kept)}/{len(new_host)} fields for "
+            f"{n_sc} scenes) in HBM"
+            + (f"; {dropped} shallow-level fields rebuilt in-step "
+               "(budget)" if dropped else "")
         )
-        for k, v in new_host.items():
+        for k, v in kept.items():
             self.arrays[k] = jnp.asarray(v)
-        jax.block_until_ready([self.arrays[k] for k in new_host])
+        jax.block_until_ready([self.arrays[k] for k in kept])
         return True
 
     # ------------------------------------------------------------ host side
@@ -522,6 +558,32 @@ class DeviceStore:
             out["mix_contact"] = mix_contact
             out["mix_mask"] = mix_mask
         return out
+
+
+def index_stream(n_items: int, G: int, B: int, start_step: int,
+                 base_seed: int, loader_seed: int):
+    """Resume-aware infinite stream of (G*B,) dataset-index chunks for the
+    device-store pipeline (the host's only per-step data-selection state).
+
+    Each corpus pass ``ep`` draws one seeded permutation (the loop seed and
+    the dataloader's shuffle seed both fold in), split into G*B chunks; a
+    resume at ``start_step`` re-enters the SAME epoch/chunk position the
+    uninterrupted run would be at, so crash-resume does not replay data
+    from the beginning (and two runs resumed at different points see the
+    same overall stream)."""
+    chunk = G * B
+    chunks_per_ep = max(1, n_items // chunk)
+    steps_per_pass = chunks_per_ep * G
+    ep = start_step // steps_per_pass
+    skip = (start_step % steps_per_pass) // G
+    while True:
+        order = np.random.default_rng(
+            (base_seed * 977 + loader_seed * 9176 + ep) & 0x7FFFFFFF
+        ).permutation(n_items)
+        for s in range(skip * chunk, chunks_per_ep * chunk, chunk):
+            yield order[s: s + chunk]
+        skip = 0
+        ep += 1
 
 
 def make_assemble_fn(store: DeviceStore):

@@ -350,28 +350,18 @@ class TrainLoop:
                 }
                 return xs, conds
 
-            # resume-aware epoch stream: start at the permutation epoch the
-            # resumed step falls in (and skip its consumed chunks) so a
-            # crash-resume doesn't replay the corpus from the beginning;
-            # the loader's shuffle seed folds into the permutation
+            # resume-aware epoch stream (device_store.index_stream): a
+            # crash-resume re-enters the same epoch/chunk position instead
+            # of replaying the corpus; the loader's shuffle seed folds in
+            from .device_store import index_stream
+
             start_step = step
             loader_seed = int(getattr(self.dataloader, "seed", 0))
 
             def batch_groups():
-                chunk = G * B
-                chunks_per_ep = max(1, n_items // chunk)
-                steps_per_pass = chunks_per_ep * G
-                ep = start_step // steps_per_pass
-                skip = (start_step % steps_per_pass) // G
-                while True:
-                    order = np.random.default_rng(
-                        (self._base_seed * 977 + loader_seed * 9176 + ep)
-                        & 0x7FFFFFFF
-                    ).permutation(n_items)
-                    for s in range(skip * chunk, chunks_per_ep * chunk, chunk):
-                        yield order[s: s + chunk]
-                    skip = 0
-                    ep += 1
+                return index_stream(
+                    n_items, G, B, start_step, self._base_seed, loader_seed
+                )
         else:
             if mega:
                 self.dataloader.batch_size = G * B

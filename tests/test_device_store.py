@@ -351,6 +351,90 @@ def test_device_geometry_cache_matches_in_step_rebuild(store_env):
             )
 
 
+def test_device_geometry_cache_partial_budget(store_env):
+    """When the full cache exceeds the HBM budget, whole levels are kept
+    from the deepest up (level 0's kNN — the biggest field — rebuilds
+    in-step) and the hybrid path must still reproduce the full rebuild."""
+    ds, store = store_env
+    import jax.numpy as jnp
+    from afford_motion_tpu.models.cmdm import CMDM
+    from afford_motion_tpu.models.conditioning import add_hierarchies
+
+    st = DeviceStore(dict(store.arrays), dict(store.meta))
+    C = int(st.arrays["dist16"].shape[-1])
+    model = CMDM(
+        motion_dim=int(st.arrays["motion16"].shape[-1]), latent_dim=32,
+        time_emb_dim=32, text_feat_dim=16, contact_dim=C,
+        planes=(8, 16, 32, 64), blocks=(2, 2, 2, 2), arch="trans_enc",
+        num_layers=(1, 1), num_heads=4, dim_feedforward=32,
+    )
+    existing = sum(
+        int(np.prod(v.shape)) * v.dtype.itemsize for v in st.arrays.values()
+    )
+    # room for a bit more than half the full cache -> deep levels only
+    full = DeviceStore(dict(store.arrays), dict(store.meta))
+    assert full.add_geometry_cache(model)
+    cache_bytes = sum(
+        int(np.prod(v.shape)) * v.dtype.itemsize
+        for k, v in full.arrays.items()
+        if k.startswith("geo_") and "_fps_idx" not in k
+    )
+    assert st.add_geometry_cache(model, max_bytes=existing + cache_bytes // 2)
+    assert "geo_sm0_knn_idx" not in st.arrays          # biggest field dropped
+    deep = [k for k in st.arrays
+            if k.startswith("geo_sm") and "_fps_idx" not in k]
+    assert deep, "no deep-level fields kept"
+
+    assemble = make_assemble_fn(st)
+    te = _HashText()
+    random.seed(9); np.random.seed(9)
+    meta = st.draw_batch(ds, [0, 1])
+    meta["text_emb"] = te.encode(meta.pop("c_text"))[:, None, :].astype(np.float16)
+    item_row = jnp.asarray(meta.pop("item_row"))
+    _, cond = assemble({"item_row": item_row,
+                        **{k: jnp.asarray(v) for k, v in meta.items()}})
+    assert "geo_sm0_knn_idx" not in cond
+    cond_wire = {k: v for k, v in cond.items()
+                 if not k.startswith("geo_") or k.endswith("_fps_idx")}
+    h_mixed = add_hierarchies(model, cond)["levels_sm"]
+    h_full = add_hierarchies(model, cond_wire)["levels_sm"]
+    for lm, lf in zip(h_mixed, h_full):
+        np.testing.assert_array_equal(np.asarray(lm.knn_idx), np.asarray(lf.knn_idx))
+        if lm.down_knn_idx is not None:
+            np.testing.assert_array_equal(
+                np.asarray(lm.down_knn_idx), np.asarray(lf.down_knn_idx)
+            )
+
+
+def test_index_stream_resume_continuity():
+    """Crash-resume must re-enter the exact epoch/chunk position of the
+    uninterrupted run (no corpus replay), with the loader seed folded in
+    and no index repeats within a pass."""
+    from afford_motion_tpu.train.device_store import index_stream
+
+    n_items, G, B = 100, 4, 3          # chunk=12, 8 chunks/pass, 32 steps/pass
+    fresh = index_stream(n_items, G, B, 0, base_seed=2023, loader_seed=7)
+    taken = [np.asarray(next(fresh)) for _ in range(20)]
+
+    # resume within the first pass (5 chunks = 5*G steps consumed)
+    resumed = index_stream(n_items, G, B, 5 * G, 2023, 7)
+    for i in range(5, 20):
+        np.testing.assert_array_equal(np.asarray(next(resumed)), taken[i])
+
+    # resume inside the SECOND pass (step 40 -> ep 1, chunk 2)
+    resumed2 = index_stream(n_items, G, B, 10 * G, 2023, 7)
+    for i in range(10, 20):
+        np.testing.assert_array_equal(np.asarray(next(resumed2)), taken[i])
+
+    # the dataloader's shuffle seed changes the permutation
+    other = index_stream(n_items, G, B, 0, 2023, 8)
+    assert not np.array_equal(np.asarray(next(other)), taken[0])
+
+    # chunks within one pass partition the corpus (no repeats)
+    seen = np.concatenate(taken[:8])
+    assert len(set(seen.tolist())) == len(seen)
+
+
 def test_h3d_stage1_store_matches_host(store_env):
     ds2_cfg_dir = store_env[0].data_dir
     cfg = _h3d_cfg(
