@@ -410,7 +410,37 @@ def bench_sampler_cdm(baselines: dict) -> None:
     )
 
 
+def _probe_backend(timeout_s: int = 180) -> None:
+    """Fail fast (clear one-line error) if device enumeration hangs.
+
+    The container's TPU is behind a remote tunnel; when that tunnel is
+    down, ``jax.devices()`` blocks indefinitely inside backend init —
+    observed live in round 2 — and the bench would hang until the
+    driver's timeout with no diagnostics. Probe in a subprocess with a
+    bounded wait instead."""
+    import subprocess
+    import sys
+
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; d = jax.devices(); print(d[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s,
+        )
+        if proc.returncode == 0:
+            return
+        detail = proc.stderr.strip()[-300:]
+    except subprocess.TimeoutExpired:
+        detail = f"device enumeration still blocked after {timeout_s}s"
+    print(json.dumps({
+        "metric": "error", "value": 0, "unit": "",
+        "error": f"TPU backend unreachable (tunnel down?): {detail}",
+    }), flush=True)
+    raise SystemExit(1)
+
+
 def main() -> None:
+    _probe_backend()
     baselines = _baselines()
     bench_flagship(baselines)
     if FULL:
