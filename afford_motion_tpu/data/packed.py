@@ -203,15 +203,14 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
     # after sorting) must not enable the banded windowed kernels. Checked
     # on the full-precision source points (the f16 wire copy would
     # tie-break differently and fail the monotonicity check).
-    from ..ops.morton import morton_codes
+    from ..ops.curves import detect_curve
 
-    morton_flags: list = []
+    curve_flags: list = []
 
     def load_item(base: str) -> Dict[str, np.ndarray]:
         npz = np.load(contact_npz(base))
         pts = npz["points"].astype(np.float32)
-        codes = morton_codes(pts[:, :3])
-        morton_flags.append(bool(np.all(codes[:-1] <= codes[1:])))
+        curve_flags.append(detect_curve(pts[:, :3]))
         dist = extract_contact(
             npz["dist"].astype(np.float32), contact_type, contact_joints
         )
@@ -259,13 +258,17 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         w.flush()
         del w
 
-    is_morton = bool(morton_flags) and all(morton_flags)
-    if morton_flags and not is_morton:
-        n_bad = sum(1 for f in morton_flags if not f)
+    # every item must be sorted along the SAME locality curve for the
+    # banded windowed kernels; meta['morton'] keeps its historical name
+    # ("banded-eligible order") with meta['curve'] naming which curve
+    curve = curve_flags[0] if curve_flags else None
+    is_sorted = curve is not None and all(c == curve for c in curve_flags)
+    if curve_flags and not is_sorted:
+        n_bad = sum(1 for c in curve_flags if c != curve)
         logger.warning(
-            f"{n_bad}/{len(morton_flags)} items are not Morton-sorted; "
-            "banded kernels will stay off for this store "
-            "(run `prepare.py sort` then re-run geometry + pack)"
+            f"{n_bad}/{len(curve_flags)} items are not "
+            f"{curve or 'curve'}-sorted; banded kernels will stay off for "
+            "this store (run `prepare.py sort` then re-run geometry + pack)"
         )
     meta = {
         "version": VERSION,
@@ -273,7 +276,8 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         "contact_joints": list(contact_joints),
         "bases": list(bases),
         "fields": sorted(writers.keys()),
-        "morton": is_morton,
+        "morton": is_sorted,
+        "curve": curve if is_sorted else None,
     }
     with open(os.path.join(out_dir, META_NAME), "w") as f:
         json.dump(meta, f)

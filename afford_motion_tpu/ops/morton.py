@@ -36,14 +36,20 @@ def morton_order(points: np.ndarray, bits: int = 10) -> np.ndarray:
     return np.argsort(morton_codes(points, bits), kind="stable")
 
 
-def sort_contact_npz(npz_path: str, out_path: str | None = None) -> bool:
+def sort_contact_npz(npz_path: str, out_path: str | None = None,
+                     curve: str = "morton") -> bool:
     """Rewrite a contacts ``.npz`` (points (N,C), dist (N,J), optional
-    mask) with rows in Morton order of the xyz columns. Returns True if
+    mask) with rows in ``curve`` order of the xyz columns. Returns True if
     rewritten. Idempotent (sorting sorted data is a no-op permutation)."""
     data = dict(np.load(npz_path))
     if "points" not in data:
         return False
-    order = morton_order(np.asarray(data["points"])[:, :3])
+    if curve == "morton":
+        order = morton_order(np.asarray(data["points"])[:, :3])
+    else:
+        from .curves import curve_order
+
+        order = curve_order(np.asarray(data["points"])[:, :3], curve)
     for key, v in data.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == len(order):
             data[key] = v[order]

@@ -131,10 +131,11 @@ def cmd_geometry(args) -> None:
 
 def cmd_sort(args) -> None:
     """Rewrite per-item point rows (contacts npz + per-point sidecars) in
-    Morton order (ops/morton.py) so the banded TPU kernels apply. Run
+    space-filling-curve order (ops/curves.py; ``--curve hilbert`` default,
+    ``--curve morton`` for Z-order) so the banded TPU kernels apply. Run
     BEFORE `geometry` and `pack` — their index caches reference row
-    positions. Idempotent."""
-    from afford_motion_tpu.ops.morton import morton_order
+    positions. Idempotent per curve."""
+    from afford_motion_tpu.ops.curves import curve_order
 
     if args.dataset == "H3D":
         base = os.path.join(args.out_dir, "H3D")
@@ -152,7 +153,7 @@ def cmd_sort(args) -> None:
 
     for n, f in enumerate(files):
         data = dict(np.load(f))
-        order = morton_order(np.asarray(data["points"])[:, :3])
+        order = curve_order(np.asarray(data["points"])[:, :3], args.curve)
         npts = len(order)
         for key, v in data.items():
             if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == npts:
@@ -166,7 +167,7 @@ def cmd_sort(args) -> None:
                     np.save(sc, v[order])
         if (n + 1) % 500 == 0 or n + 1 == len(files):
             logger.info(f"sort {n + 1}/{len(files)}")
-    logger.info(f"morton-sorted {len(files)} items under {base}")
+    logger.info(f"{args.curve}-sorted {len(files)} items under {base}")
 
 
 def cmd_pack(args) -> None:
@@ -212,6 +213,8 @@ def main() -> None:
     parser.add_argument("--batch_size", type=int, default=32)
     parser.add_argument("--contact_type", type=str, default="contact_cont_joints")
     parser.add_argument("--contact_joints", type=str, default="0,10,11,12,20,21")
+    parser.add_argument("--curve", type=str, default="hilbert",
+                        choices=["hilbert", "morton"])
     args = parser.parse_args()
     {
         "process": cmd_process,

@@ -26,6 +26,7 @@ jax.config.update("jax_platforms", "cpu")
 # carries an explicit `slow` marker.
 _QUICK_FILES = {
     "test_config.py",
+    "test_curves.py",
     "test_diffusion.py",
     "test_pointops.py",
     "test_prepare.py",
