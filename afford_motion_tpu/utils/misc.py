@@ -4,7 +4,30 @@ trimesh.transform_points).
 """
 from __future__ import annotations
 
+import os
+
 import numpy as np
+
+
+def apply_platform_env() -> None:
+    """Make ``JAX_PLATFORMS=cpu python <cli> ...`` actually select CPU.
+
+    The container's sitecustomize registers a remote TPU platform and can
+    pin ``jax_platforms`` during interpreter startup, so the env var alone
+    does not stick (tests/conftest.py has the same caveat); the config
+    must be re-applied in-process before any backend initializes. Every
+    CLI entry calls this first — it is a no-op when the env var is unset
+    or a backend is already live.
+    """
+    plats = os.environ.get("JAX_PLATFORMS")
+    if not plats:
+        return
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", plats)
+    except Exception:
+        pass  # backend already initialized — too late to switch
 
 # Central repr-dimension table (reference: utils/misc.py:4-22). Fills
 # cfg.model.input_feats at startup (reference: train.py:60, test.py:158).

@@ -25,7 +25,7 @@ from afford_motion_tpu.models.conditioning import host_prepare_cond
 from afford_motion_tpu.train import latest_ckpt, load_params, make_sample_fn
 from afford_motion_tpu.utils.config import DictConfig, load_config
 from afford_motion_tpu.utils.io import add_file_handler, get_logger, mkdir_if_not_exists, time_str
-from afford_motion_tpu.utils.misc import compute_repr_dimension
+from afford_motion_tpu.utils.misc import apply_platform_env, compute_repr_dimension
 
 logger = get_logger()
 
@@ -89,6 +89,7 @@ def sample(cfg: DictConfig) -> None:
 
 
 def main(argv=None) -> None:
+    apply_platform_env()  # honor JAX_PLATFORMS=cpu under the TPU sitecustomize
     cfg = load_config("configs", argv if argv is not None else sys.argv[1:])
     random.seed(cfg.seed)
     np.random.seed(cfg.seed)

@@ -61,6 +61,9 @@ def pad_batch(pairs, idxs, max_len=196):
 
 
 def main():
+    from afford_motion_tpu.utils.misc import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS=cpu under the TPU sitecustomize
     ap = argparse.ArgumentParser()
     ap.add_argument("--data_dir", default="./data")
     ap.add_argument("--sets", nargs="+", default=["HUMANISE", "PROX"])

@@ -20,7 +20,7 @@ from afford_motion_tpu.models import create_model_and_diffusion, create_text_enc
 from afford_motion_tpu.train import TrainLoop
 from afford_motion_tpu.utils.config import DictConfig, load_config, save_config
 from afford_motion_tpu.utils.io import Board, add_file_handler, get_logger, mkdir_if_not_exists
-from afford_motion_tpu.utils.misc import compute_repr_dimension
+from afford_motion_tpu.utils.misc import apply_platform_env, compute_repr_dimension
 
 logger = get_logger()
 
@@ -60,6 +60,7 @@ def train(cfg: DictConfig) -> None:
 
 
 def main(argv=None) -> None:
+    apply_platform_env()  # honor JAX_PLATFORMS=cpu under the TPU sitecustomize
     cfg = load_config("configs", argv if argv is not None else sys.argv[1:])
 
     # fixed seeds (reference: train.py:81-88)
