@@ -45,10 +45,13 @@ GEO_CACHE = int(os.environ.get("BENCH_GEO_CACHE", 1))
 # computation dtype (bfloat16 = the shipped mixed-precision recipe:
 # f32 params/norms/softmax/head, bf16 activations)
 DTYPE = os.environ.get("BENCH_DTYPE", "bfloat16")
-# 1 = banded windowed-neighborhood kernels on Morton-sorted clouds (the
-# shipped default for Morton-sorted packed data; the GEO_CACHE=1 cache is
+# 1 = banded windowed-neighborhood kernels on curve-sorted clouds (the
+# shipped default for curve-sorted packed data; the GEO_CACHE=1 cache is
 # computed with the same banded kernels, GEO_CACHE=2 runs them in-step)
 BANDED = int(os.environ.get("BENCH_BANDED", 1))
+# row order for the banded path (prepare.py sort default is hilbert;
+# morton supported for A/B)
+CURVE = os.environ.get("BENCH_CURVE", "hilbert")
 # 1 = also run the secondary metrics (CDM train + DDPM sampling chains)
 FULL = int(os.environ.get("BENCH_FULL", 1))
 # >1 = measure the megabatch scan path (make_train_step steps_per_dispatch,
@@ -150,9 +153,9 @@ def _cmdm_batch(rng, B, N):
     x = jnp.asarray(rng.normal(size=(B, 196, 263)).astype(np.float32))
     xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
     if BANDED:
-        from afford_motion_tpu.ops.morton import morton_order
+        from afford_motion_tpu.ops.curves import curve_order
 
-        xyz = np.stack([s[morton_order(s)] for s in xyz])
+        xyz = np.stack([s[curve_order(s, CURVE)] for s in xyz])
     cond = {
         "text_emb": jnp.asarray(rng.normal(size=(B, 1, 512)).astype(np.float32)),
         "c_pc_xyz": jnp.asarray(xyz),
@@ -294,9 +297,9 @@ def _cdm_batch(rng, B, N):
 
     xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
     if BANDED:
-        from afford_motion_tpu.ops.morton import morton_order
+        from afford_motion_tpu.ops.curves import curve_order
 
-        xyz = np.stack([s[morton_order(s)] for s in xyz])
+        xyz = np.stack([s[curve_order(s, CURVE)] for s in xyz])
     x = jnp.asarray(rng.normal(size=(B, N, 6)).astype(np.float32))
     cond = {
         "text_emb": jnp.asarray(rng.normal(size=(B, 1, 512)).astype(np.float32)),

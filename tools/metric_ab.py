@@ -36,8 +36,8 @@ LEG_SHIPPED = ["model.dtype=bfloat16", "model.knn_exact=false", "model.use_bande
 LEG_BANDED = ["model.dtype=bfloat16", "model.knn_exact=false", "model.use_banded=true"]
 
 
-def _morton_sort_dir(data_dir: str) -> int:
-    """Morton-sort every contacts npz under the synthetic tree (the banded
+def _curve_sort_dir(data_dir: str, curve: str = "hilbert") -> int:
+    """Curve-sort every contacts npz under the synthetic tree (the banded
     kernels' window assumption; a pure relabeling for every other leg —
     models are permutation-equivariant over the cloud)."""
     from afford_motion_tpu.ops.morton import sort_contact_npz
@@ -45,7 +45,7 @@ def _morton_sort_dir(data_dir: str) -> int:
     n = 0
     for p in Path(data_dir).rglob("*.npz"):
         try:
-            n += bool(sort_contact_npz(str(p)))
+            n += bool(sort_contact_npz(str(p), curve=curve))
         except (KeyError, ValueError):
             continue
     return n
@@ -121,6 +121,7 @@ def run_ab(
     n_items: int = 8,
     train_steps: int = 8,
     diffusion_steps: int = 8,
+    curve: str = "hilbert",
 ) -> Dict[str, Dict[str, float]]:
     """Train once (exact path), then evaluate each leg over the same
     checkpoint. Returns {leg: {metric: mean_value}}."""
@@ -131,8 +132,8 @@ def run_ab(
     root_p = Path(root)
     data_dir = make_synthetic_data_dir(str(root_p / "data"), n_items=n_items,
                                        num_points=num_points)
-    n_sorted = _morton_sort_dir(data_dir)
-    print(f"[ab] synthetic data at {data_dir} (morton-sorted {n_sorted} npz)")
+    n_sorted = _curve_sort_dir(data_dir, curve)
+    print(f"[ab] synthetic data at {data_dir} ({curve}-sorted {n_sorted} npz)")
     out_dir = str(root_p / "out")
     base = _common(data_dir, out_dir, "ab_cdm", num_points, train_steps,
                    diffusion_steps)
@@ -190,6 +191,8 @@ def main() -> None:
                     help="8192 engages the Pallas kNN + banded kernels (TPU)")
     ap.add_argument("--train_steps", type=int, default=8)
     ap.add_argument("--diffusion_steps", type=int, default=8)
+    ap.add_argument("--curve", default="hilbert", choices=["hilbert", "morton"],
+                    help="cloud row order for the banded leg (prepare.py sort default)")
     ap.add_argument("--root", default=None)
     ap.add_argument("--out", default=None, help="write results JSON here")
     args = ap.parse_args()
@@ -203,7 +206,7 @@ def main() -> None:
     }
     results = run_ab(root, legs, num_points=args.num_points,
                      train_steps=args.train_steps,
-                     diffusion_steps=args.diffusion_steps)
+                     diffusion_steps=args.diffusion_steps, curve=args.curve)
     deltas = relative_deltas(results)
     payload = {"results": results, "relative_deltas_vs_exact": deltas}
     print(json.dumps(payload, indent=2))
