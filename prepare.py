@@ -137,6 +137,8 @@ def cmd_sort(args) -> None:
     positions. Idempotent per curve."""
     from afford_motion_tpu.ops.curves import curve_order
 
+    curve = getattr(args, "curve", "hilbert")
+
     if args.dataset == "H3D":
         base = os.path.join(args.out_dir, "H3D")
         files = natsorted(glob.glob(os.path.join(base, "contacts", "*.npz")))
@@ -153,7 +155,7 @@ def cmd_sort(args) -> None:
 
     for n, f in enumerate(files):
         data = dict(np.load(f))
-        order = curve_order(np.asarray(data["points"])[:, :3], args.curve)
+        order = curve_order(np.asarray(data["points"])[:, :3], curve)
         npts = len(order)
         for key, v in data.items():
             if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == npts:
@@ -167,7 +169,7 @@ def cmd_sort(args) -> None:
                     np.save(sc, v[order])
         if (n + 1) % 500 == 0 or n + 1 == len(files):
             logger.info(f"sort {n + 1}/{len(files)}")
-    logger.info(f"{args.curve}-sorted {len(files)} items under {base}")
+    logger.info(f"{curve}-sorted {len(files)} items under {base}")
 
 
 def cmd_pack(args) -> None:
