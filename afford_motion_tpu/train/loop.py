@@ -238,10 +238,12 @@ class TrainLoop:
             else ([packed] if packed is not None else [])
         )
         if stores and all(st.meta.get("morton") for st in stores):
+            curves = {st.meta.get("curve", "morton") for st in stores}
             self.model = self.model.clone(use_banded=True)
             logger.info(
                 "banded windowed-neighborhood kernels enabled "
-                "(Morton-sorted packed data, fps geometry wire)"
+                f"({'/'.join(sorted(str(c) for c in curves))}-sorted packed "
+                "data, fps geometry wire)"
             )
 
     # ------------------------------------------------------------------ init
