@@ -30,15 +30,18 @@ from flax import linen as nn
 from ..ops.hierarchy import LevelGeometry
 
 
-def bgather(x: jnp.ndarray, idx: jnp.ndarray, banded: bool = False) -> jnp.ndarray:
+def bgather(x: jnp.ndarray, idx: jnp.ndarray, banded: bool = False,
+            starts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
     """Batched neighbourhood gather: x (B, N, C), idx (B, ...) -> (B, ..., C).
 
     On TPU, 3-D (B, M, K) index gathers route to a Pallas kernel: with
-    ``banded=True`` (indices produced by the windowed kNN on Morton-ordered
+    ``banded=True`` (indices produced by the windowed kNN on curve-ordered
     clouds — callers pass ``geom.banded``) the banded one-hot-matmul kernel
     (ops/pallas/banded.py — MXU work instead of a scalar-issue-bound row
     loop), else the row-copy kernel (ops/pallas/gather.py — 2.4x fwd /
-    3.5x bwd vs the XLA gather)."""
+    3.5x bwd vs the XLA gather). ``starts`` (B, G) are the per-item window
+    starts the indices were produced with (LevelGeometry.down_starts /
+    up_starts; None = proportional policy)."""
     if idx.ndim == 3 and jax.default_backend() == "tpu":
         from ..ops.pallas import banded as banded_mod
         from ..ops.pallas.gather import gather_rows
@@ -46,7 +49,7 @@ def bgather(x: jnp.ndarray, idx: jnp.ndarray, banded: bool = False) -> jnp.ndarr
         if banded and banded_mod.gather_supports(
             idx.shape[1], x.shape[1], x.shape[2], idx.shape[2], x.dtype.itemsize
         ):
-            return banded_mod.gather_banded(x, idx.astype(jnp.int32))
+            return banded_mod.gather_banded(x, idx.astype(jnp.int32), starts)
         return gather_rows(x, idx.astype(jnp.int32))
     return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
 
@@ -146,7 +149,7 @@ class TransitionDown(nn.Module):
         # single packed gather (see PointTransformerLayer note)
         packed = bgather(
             jnp.concatenate([parent_xyz.astype(self.dtype), x], axis=-1),
-            geom.down_knn_idx, geom.banded,
+            geom.down_knn_idx, geom.banded, geom.down_starts,
         )
         rel = packed[..., :3] - new_xyz[:, :, None, :]
         grouped = jnp.concatenate([rel, packed[..., 3:]], axis=-1)
@@ -188,7 +191,8 @@ class TransitionUp(nn.Module):
         a = nn.relu(PointNorm(self.norm, dtype=self.dtype)(a, train=train))
         b = nn.Dense(self.out_planes, dtype=self.dtype)(coarse_x.astype(self.dtype))
         b = nn.relu(PointNorm(self.norm, dtype=self.dtype)(b, train=train))
-        gathered = bgather(b, coarse_geom.up_idx, coarse_geom.banded)  # (B, N_fine, 3, C)
+        gathered = bgather(b, coarse_geom.up_idx, coarse_geom.banded,
+                           coarse_geom.up_starts)  # (B, N_fine, 3, C)
         b_up = jnp.einsum(
             "bnkc,bnk->bnc", gathered, coarse_geom.up_weight.astype(self.dtype)
         )

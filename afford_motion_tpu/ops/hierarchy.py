@@ -21,12 +21,14 @@ from .pointops import batched_fps, batched_knn, interpolation_weights
 
 
 def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
-              banded_on: bool = False, method: Optional[str] = None):
-    """Windowed (banded) kNN on Morton-ordered data when requested (and
+              banded_on: bool = False, method: Optional[str] = None,
+              starts: Optional[jnp.ndarray] = None):
+    """Windowed (banded) kNN on curve-ordered data when requested (and
     the shapes/backend support it), full kNN otherwise. Both bandedness
     and the kNN method are explicit per-call arguments — no process-global
     state. ``method='exact'`` is the bit-exact reference-parity path
-    (no Pallas packed-bits kernel, no approx_min_k)."""
+    (no Pallas packed-bits kernel, no approx_min_k). ``starts`` (B, G)
+    overrides the per-tile window starts (adaptive centering)."""
     from .pallas import banded
 
     if (
@@ -34,8 +36,30 @@ def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
         and banded.available()
         and banded.knn_supports(query.shape[1], support.shape[1], k)
     ):
-        return banded.knn_banded(query, support, k)
+        return banded.knn_banded(query, support, k, starts)
     return batched_knn(query, support, k, method)
+
+
+def _adaptive_starts(fps_idx, m_query: int, n_support: int, k: int,
+                     banded_on: bool, kind: str):
+    """Per-item window starts for cross-level banded ops, or None whenever
+    the banded kernel would not engage (the gating mirrors _knn_auto so a
+    fallback exact kNN is never paired with windowed gathers). Pure
+    function of fps_idx — recomputed identically at geometry build, cache
+    upload, and in-step rebuild (the containment invariant's anchor)."""
+    from .pallas import banded
+
+    if (
+        fps_idx is None
+        or not banded_on
+        or not banded.ADAPTIVE
+        or not banded.available()
+        or not banded.knn_supports(m_query, n_support, k)
+    ):
+        return None
+    if kind == "down":
+        return banded.adaptive_down_starts(fps_idx, n_support)
+    return banded.adaptive_up_starts(fps_idx, m_query)
 
 
 @struct.dataclass
@@ -52,6 +76,12 @@ class LevelGeometry:
     down_knn_idx: Optional[jnp.ndarray]  # (B, N_l, k) neighbours in the parent level
     up_idx: Optional[jnp.ndarray]        # (B, N_parent, 3) this-level NNs of parent points
     up_weight: Optional[jnp.ndarray]     # (B, N_parent, 3) inverse-distance weights
+    # per-item adaptive window starts for the banded cross-level ops
+    # (None = proportional policy); pure functions of fps_idx, attached
+    # wherever the geometry is (re)built so kNN indices and gathers always
+    # share the same windows (ops/pallas/banded.py ADAPTIVE)
+    down_starts: Optional[jnp.ndarray] = None  # (B, N_l // TQ)
+    up_starts: Optional[jnp.ndarray] = None    # (B, N_parent // TQ)
     # STATIC aux data (not a pytree leaf): the index fields above came from
     # the banded windowed kNN, so neighbourhood gathers may use the banded
     # one-hot-matmul kernels. Part of the jit cache key by construction.
@@ -77,6 +107,7 @@ def _level_geom(
         xyz = parent_xyz
         fps_idx = None
         down_knn_idx = None
+        down_starts = None
     else:
         m = n // stride
         fps_idx = batched_fps(parent_xyz, m)
@@ -92,13 +123,17 @@ def _level_geom(
             # in selection order (tests/test_golden_parity.py).
             fps_idx = jnp.sort(fps_idx, axis=-1)
         xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
-        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded, knn_method)
+        down_starts = _adaptive_starts(fps_idx, m, n, nsample, banded, "down")
+        down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded,
+                                    knn_method, down_starts)
 
     knn_idx, _ = _knn_auto(xyz, xyz, nsample, banded, knn_method)
 
-    up_idx = up_weight = None
+    up_idx = up_weight = up_starts = None
     if with_up and stride != 1:
-        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3, banded, knn_method)
+        up_starts = _adaptive_starts(fps_idx, n, xyz.shape[1], 3, banded, "up")
+        up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3, banded, knn_method,
+                                    up_starts)
         up_weight = interpolation_weights(up_dist)
 
     return LevelGeometry(
@@ -108,6 +143,8 @@ def _level_geom(
         down_knn_idx=down_knn_idx,
         up_idx=up_idx,
         up_weight=up_weight,
+        down_starts=down_starts,
+        up_starts=up_starts,
         banded=banded,
     )
 
@@ -211,25 +248,36 @@ def build_point_hierarchy_from_fps(
             lvl_xyz = parent
             fps_idx = None
             down_knn_idx = None
+            down_starts = None
         else:
             fps_idx = arrays[f"{prefix}{li}_fps_idx"].astype(jnp.int32)
             lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
+            down_starts = _adaptive_starts(
+                fps_idx, lvl_xyz.shape[1], parent.shape[1], nsample, banded,
+                "down",
+            )
             down_knn_idx = cached(li, "down_knn_idx")
             if down_knn_idx is None:
-                down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded, knn_method)
+                down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded,
+                                            knn_method, down_starts)
         knn_idx = cached(li, "knn_idx")
         if knn_idx is None:
             knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded, knn_method)
-        up_idx = up_weight = None
+        up_idx = up_weight = up_starts = None
         if with_up and stride != 1:
+            up_starts = _adaptive_starts(
+                fps_idx, parent.shape[1], lvl_xyz.shape[1], 3, banded, "up"
+            )
             up_idx = cached(li, "up_idx")
             up_weight = cached(li, "up_weight")
             if up_idx is None or up_weight is None:
-                up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded, knn_method)
+                up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded,
+                                            knn_method, up_starts)
                 up_weight = interpolation_weights(up_dist)
         levels.append(LevelGeometry(
             xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,
             down_knn_idx=down_knn_idx, up_idx=up_idx, up_weight=up_weight,
+            down_starts=down_starts, up_starts=up_starts,
             banded=banded,
         ))
         parent = lvl_xyz
@@ -278,17 +326,35 @@ def geometry_from_arrays(
             return arrays.get(f"{prefix}{li}_{field}")
 
         fps_idx = get("fps_idx")
+        if fps_idx is not None:
+            fps_idx = fps_idx.astype(jnp.int32)
         lvl_xyz = (
             parent_xyz if fps_idx is None
-            else jnp.take_along_axis(parent_xyz, fps_idx[..., None].astype(jnp.int32), axis=1)
+            else jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
         )
+        down_knn_idx = get("down_knn_idx")
+        up_idx = get("up_idx")
+        # cached banded indices were produced with the same (deterministic,
+        # fps_idx-derived) adaptive starts — reattach them for the gathers
+        down_starts = up_starts = None
+        if fps_idx is not None and down_knn_idx is not None:
+            down_starts = _adaptive_starts(
+                fps_idx, lvl_xyz.shape[1], parent_xyz.shape[1],
+                int(down_knn_idx.shape[-1]), banded, "down",
+            )
+        if fps_idx is not None and up_idx is not None:
+            up_starts = _adaptive_starts(
+                fps_idx, parent_xyz.shape[1], lvl_xyz.shape[1], 3,
+                banded, "up",
+            )
         levels.append(LevelGeometry(
             xyz=lvl_xyz,
             knn_idx=get("knn_idx").astype(jnp.int32),
-            fps_idx=None if fps_idx is None else fps_idx.astype(jnp.int32),
-            down_knn_idx=None if get("down_knn_idx") is None else get("down_knn_idx").astype(jnp.int32),
-            up_idx=None if get("up_idx") is None else get("up_idx").astype(jnp.int32),
+            fps_idx=fps_idx,
+            down_knn_idx=None if down_knn_idx is None else down_knn_idx.astype(jnp.int32),
+            up_idx=None if up_idx is None else up_idx.astype(jnp.int32),
             up_weight=None if get("up_weight") is None else get("up_weight").astype(jnp.float32),
+            down_starts=down_starts, up_starts=up_starts,
             banded=banded,
         ))
         parent_xyz = lvl_xyz

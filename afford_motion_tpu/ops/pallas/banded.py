@@ -63,6 +63,16 @@ import os as _os
 
 _W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 256
 
+# Per-item ADAPTIVE window starts (default on): FPS density varies per
+# scene, so for cross-level kNN/gathers the proportional window centering
+# can miss the query tile's true curve position (measured: down-level
+# in-window recall .87 -> .93 at the same S on room-like clouds,
+# docs/PERF.md "window-locality study"). Starts become a (B, G) operand —
+# a pure function of fps_idx, recomputed identically wherever the
+# geometry is (re)built, so cached kNN indices and per-step gathers always
+# agree. AM_BANDED_ADAPTIVE=0 restores proportional-only windows.
+ADAPTIVE = (_os.environ.get("AM_BANDED_ADAPTIVE", "1") != "0")
+
 
 def window_width(n_support: int) -> int:
     """W policy: scale with support size, clamped to [128, W0] (W0 =
@@ -73,7 +83,7 @@ def window_width(n_support: int) -> int:
 def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
     """Static per-tile window starts + window size S for M query rows over
     N support rows. Window center tracks the proportional position
-    (Morton order is preserved across FPS levels via sorted fps_idx)."""
+    (curve order is preserved across FPS levels via sorted fps_idx)."""
     ratio = n / m
     s = min(n, ((int(TQ * ratio) + 2 * w + 127) // 128) * 128)
     starts = []
@@ -82,6 +92,46 @@ def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
         c = max(0, min(n - s, c))
         starts.append((c // 128) * 128)
     return starts, s
+
+
+def _starts_array(b: int, m: int, n: int) -> jnp.ndarray:
+    """Proportional starts as a (B, G) operand (the static policy values,
+    broadcast — bit-identical windows to the list form)."""
+    starts, _ = window_starts(m, n, window_width(n))
+    return jnp.broadcast_to(
+        jnp.asarray(starts, dtype=jnp.int32)[None, :], (b, len(starts))
+    )
+
+
+def _clip_round_starts(center: jnp.ndarray, n: int, s: int) -> jnp.ndarray:
+    """center (B, G) -> window starts: clipped to [0, n-s], 128-aligned."""
+    st = jnp.clip(center - s // 2, 0, n - s)
+    return (st // 128 * 128).astype(jnp.int32)
+
+
+def adaptive_down_starts(fps_idx: jnp.ndarray, n_support: int) -> jnp.ndarray:
+    """Window starts for cross-level queries (FPS level -> parent level):
+    center each query tile's window on the tile's actual span of parent
+    curve positions (fps_idx is sorted ascending). (B, M) -> (B, G)."""
+    B, M = fps_idx.shape
+    _, s = window_starts(M, n_support, window_width(n_support))
+    lo = fps_idx[:, 0::TQ].astype(jnp.int32)          # (B, G)
+    hi = fps_idx[:, TQ - 1::TQ].astype(jnp.int32)     # (B, G)
+    return _clip_round_starts((lo + hi) // 2, n_support, s)
+
+
+def adaptive_up_starts(fps_idx: jnp.ndarray, m_fine: int) -> jnp.ndarray:
+    """Window starts for parent-level queries over the coarse level (3-NN
+    up-interpolation): center each fine tile's window on where its rows
+    land in the coarse curve order (searchsorted into sorted fps_idx)."""
+    B, n_coarse = fps_idx.shape
+    _, s = window_starts(m_fine, n_coarse, window_width(n_coarse))
+    g = m_fine // TQ
+    tile_centers = jnp.arange(g, dtype=jnp.int32) * TQ + TQ // 2   # (G,)
+    center = jax.vmap(
+        lambda f: jnp.searchsorted(f, tile_centers).astype(jnp.int32)
+    )(fps_idx.astype(jnp.int32))
+    return _clip_round_starts(center, n_coarse, s)
 
 
 def knn_supports(m: int, n: int, k: int) -> bool:
@@ -112,9 +162,10 @@ _IDX_MASK = (1 << _IDX_BITS) - 1
 
 
 def _knn_kernel(k: int, s: int, starts_ref, q_ref, sT_ref, idx_ref, dist_ref):
-    """starts (G,) SMEM; q (1, TQ, 3); sT (1, 3, N); out (1, TQ, k)."""
+    """starts (B, G) SMEM; q (1, TQ, 3); sT (1, 3, N); out (1, TQ, k)."""
+    b = pl.program_id(0)
     t = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[t], 128)
+    start = pl.multiple_of(starts_ref[b, t], 128)
     q = q_ref[0]                               # (TQ, 3)
     sw = sT_ref[0, :, pl.ds(start, s)]         # (3, S) window slice
 
@@ -138,14 +189,17 @@ def _knn_kernel(k: int, s: int, starts_ref, q_ref, sT_ref, idx_ref, dist_ref):
 
 
 @functools.partial(jax.jit, static_argnums=(2,))
-def knn_banded(query: jnp.ndarray, support: jnp.ndarray, k: int):
+def knn_banded(query: jnp.ndarray, support: jnp.ndarray, k: int,
+               starts: jnp.ndarray | None = None):
     """(B, M, 3), (B, N, 3) -> absolute idx (B, M, k) int32, sqrt dist.
-    Neighbors restricted to each tile's Morton window."""
+    Neighbors restricted to each tile's curve window. ``starts`` (B, G)
+    overrides the proportional per-tile window starts (128-aligned, in
+    [0, N-S]) — the adaptive centering for cross-level queries."""
     B, M, _ = query.shape
     N = support.shape[1]
     w = window_width(N)
-    starts, s = window_starts(M, N, w)
-    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+    _, s = window_starts(M, N, w)
+    starts_arr = _starts_array(B, M, N) if starts is None else starts
     q = query.astype(jnp.float32)
     sT = jnp.transpose(support, (0, 2, 1)).astype(jnp.float32)
 
@@ -186,9 +240,10 @@ def _onehot(idx_block, start, K, s, dtype):
 
 
 def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
-    """starts (G,) SMEM; idx (1, TQ, K) VMEM; x (1, N, C); o (1, TQ*K, C)."""
+    """starts (B, G) SMEM; idx (1, TQ, K) VMEM; x (1, N, C); o (1, TQ*K, C)."""
+    b = pl.program_id(0)
     t = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[t], 128)
+    start = pl.multiple_of(starts_ref[b, t], 128)
     xw = x_ref[0, pl.ds(start, s), :]                       # (S, C)
     onehot = _onehot(idx_ref[0], start, K, s, xw.dtype)     # (TQ*K, S)
     o_ref[0] = jax.lax.dot_general(
@@ -199,8 +254,9 @@ def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
 
 def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
     """Transposed one-hot matmul: o (1, 1, S, C) per-tile window slice."""
+    b = pl.program_id(0)
     t = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[t], 128)
+    start = pl.multiple_of(starts_ref[b, t], 128)
     g = g_ref[0]                                            # (TQ*K, C)
     onehot = _onehot(idx_ref[0], start, K, s, g.dtype)
     o_ref[0, 0] = jax.lax.dot_general(
@@ -209,11 +265,11 @@ def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
     ).astype(o_ref.dtype)
 
 
-def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray,
+                        starts_arr: jnp.ndarray) -> jnp.ndarray:
     B, N, C = x.shape
     _, M, K = idx.shape
-    starts, s = window_starts(M, N, window_width(N))
-    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+    _, s = window_starts(M, N, window_width(N))
     out = pl.pallas_call(
         functools.partial(_gather_kernel, K, s),
         grid=(B, M // TQ),
@@ -232,10 +288,10 @@ def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return out.reshape(B, M, K, C)
 
 
-def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarray:
+def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray,
+                         starts_arr: jnp.ndarray, n: int) -> jnp.ndarray:
     B, M, K, C = g.shape
-    starts, s = window_starts(M, n, window_width(n))
-    starts_arr = jnp.asarray(starts, dtype=jnp.int32)
+    _, s = window_starts(M, n, window_width(n))
     G = M // TQ
     # Scatter-add accumulates in f32 regardless of g.dtype: the per-tile
     # matmul partials and the overlapping-window fold sum many bf16 terms
@@ -256,53 +312,75 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray, n: int) -> jnp.ndarra
         out_shape=jax.ShapeDtypeStruct((B, G, s, C), jnp.float32),
         interpret=_interpret(),
     )(starts_arr, idx, g.reshape(B, M * K, C))
-    # fold overlapping per-tile windows with static dynamic-update adds
-    dx = jnp.zeros((B, n, C), dtype=jnp.float32)
-    for t, st in enumerate(starts):
-        dx = dx.at[:, st: st + s, :].add(tiles[:, t])
+    # Fold overlapping per-tile windows into (B, n, C) with ONE block-level
+    # one-hot einsum over 128-row blocks (supports per-item dynamic starts;
+    # also replaces G serial read-modify-write slice-adds with an MXU
+    # matmul whose FLOPs are negligible: B*G*(S/128)*(n/128)*(128C)*2).
+    kb, nb = s // 128, n // 128
+    blocks = starts_arr // 128                                    # (B, G)
+    oh = (
+        jax.lax.broadcasted_iota(jnp.int32, (1, 1, kb, nb), 3)
+        - jax.lax.broadcasted_iota(jnp.int32, (1, 1, kb, nb), 2)
+        == blocks[:, :, None, None]
+    ).astype(jnp.float32)                                         # (B,G,kb,nb)
+    tiles_b = tiles.reshape(B, G, kb, 128 * C)
+    dx = jnp.einsum(
+        "bgkn,bgkd->bnd", oh, tiles_b,
+        preferred_element_type=jnp.float32,
+    ).reshape(B, n, C)
     return dx.astype(g.dtype)
 
 
-@jax.custom_vjp
-def gather_banded(x: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def gather_banded(x: jnp.ndarray, idx: jnp.ndarray,
+                  starts: jnp.ndarray | None = None) -> jnp.ndarray:
     """(B, N, C), (B, M, K) int32 (window-local absolute indices) ->
-    (B, M, K, C). Exact for indices produced by knn_banded.
+    (B, M, K, C). Exact for indices produced by knn_banded with the SAME
+    ``starts``.
 
-    INVARIANT: every index in row block t must lie inside that tile's
-    Morton window [starts[t], starts[t] + S) for the *same* (M, N)
-    geometry (``window_starts(M, N, window_width(N))``). Out-of-window
-    indices silently produce zero rows (the one-hot has no hit), so call
-    sites must only feed indices from ``knn_banded`` with matching shapes
-    — or shapes where S == N (full window: exact for any indices).
+    INVARIANT: every index in row block t of item b must lie inside that
+    tile's curve window [starts[b, t], starts[b, t] + S) for the *same*
+    (M, N) geometry (``window_starts(M, N, window_width(N))``; ``starts``
+    defaults to the proportional policy). Out-of-window indices silently
+    produce zero rows (the one-hot has no hit), so call sites must only
+    feed indices from ``knn_banded`` with matching shapes and starts —
+    or shapes where S == N (full window: exact for any indices).
     Set ``AM_BANDED_DEBUG=1`` to assert containment on concrete (eager /
     interpret-mode) calls — a host-side test/debug check; traced calls
     skip it."""
+    if starts is None:
+        starts = _starts_array(x.shape[0], idx.shape[1], x.shape[1])
     if (
         _os.environ.get("AM_BANDED_DEBUG", "") == "1"
         and not isinstance(idx, jax.core.Tracer)
+        and not isinstance(starts, jax.core.Tracer)
     ):
         import numpy as _np
 
         _, M, K = idx.shape
         N = x.shape[1]
-        starts, s = window_starts(M, N, window_width(N))
+        _, s = window_starts(M, N, window_width(N))
         rel = _np.asarray(idx) - _np.repeat(
-            _np.asarray(starts, dtype=_np.int32), TQ
-        )[None, :, None]
+            _np.asarray(starts, dtype=_np.int32), TQ, axis=1
+        )[:, :, None]
         assert bool(((rel >= 0) & (rel < s)).all()), (
-            "gather_banded: index outside its Morton window "
+            "gather_banded: index outside its curve window "
             f"(M={M}, N={N}, S={s})"
         )
-    return _gather_banded_impl(x, idx)
+    return _gather_banded_vjp(x, idx, starts)
 
 
-def _gather_banded_fwd(x, idx):
-    return _gather_banded_impl(x, idx), (idx, x.shape[1])
+@jax.custom_vjp
+def _gather_banded_vjp(x, idx, starts):
+    return _gather_banded_impl(x, idx, starts)
+
+
+def _gather_banded_fwd(x, idx, starts):
+    return _gather_banded_impl(x, idx, starts), (idx, starts, x.shape[1])
 
 
 def _gather_banded_bwd(res, g):
-    idx, n = res
-    return _scatter_banded_impl(g, idx, n), None
+    idx, starts, n = res
+    return _scatter_banded_impl(g, idx, starts, n), None, None
 
 
-gather_banded.defvjp(_gather_banded_fwd, _gather_banded_bwd)
+_gather_banded_vjp.defvjp(_gather_banded_fwd, _gather_banded_bwd)

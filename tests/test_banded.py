@@ -90,9 +90,9 @@ def test_hierarchy_uses_windowed_knn_when_requested(sorted_cloud, monkeypatch):
     calls = {}
     real = banded.knn_banded
 
-    def spy(q, s, k):
+    def spy(q, s, k, starts=None):
         calls["hit"] = True
-        return real(q, s, k)
+        return real(q, s, k, starts)
 
     monkeypatch.setattr(banded, "available", lambda: True)
     monkeypatch.setattr(banded, "knn_banded", spy)
@@ -137,3 +137,139 @@ def test_gather_banded_debug_assert(sorted_cloud, monkeypatch):
     bad[0, 0, 0] = 2047  # row block 0's window cannot reach the last row
     with pytest.raises(AssertionError):
         banded.gather_banded(x, jnp.asarray(bad))
+
+
+# ---------------------------------------------------- adaptive window starts
+@pytest.fixture()
+def skewed_cloud():
+    """Curve-sorted cloud with strong density skew (dense cluster + sparse
+    halo) so FPS positions are nonuniform over the curve — the case the
+    adaptive window centering exists for."""
+    rng = np.random.default_rng(3)
+    dense = rng.normal(size=(1600, 3)).astype(np.float32) * 0.2
+    sparse = rng.normal(size=(448, 3)).astype(np.float32) * 4.0 + 2.0
+    p = np.concatenate([dense, sparse])
+    p = p[morton_order(p)]
+    return np.stack([p, p[::-1][morton_order(p[::-1])]])
+
+
+def _fps_sorted(p, m):
+    """Greedy FPS (start 0) then ascending sort — the hierarchy's rule."""
+    n = len(p)
+    idx = np.zeros(m, dtype=np.int32)
+    d = np.full(n, np.inf, dtype=np.float32)
+    last = 0
+    for i in range(1, m):
+        d = np.minimum(d, ((p - p[last]) ** 2).sum(1))
+        last = idx[i] = int(np.argmax(d))
+    return np.sort(idx)
+
+
+def test_adaptive_down_starts_alignment_and_range(skewed_cloud):
+    p = jnp.asarray(skewed_cloud)
+    B, N = p.shape[:2]
+    M = 512
+    fps = jnp.asarray(np.stack([_fps_sorted(q, M) for q in skewed_cloud]))
+    starts = banded.adaptive_down_starts(fps, N)
+    _, s = banded.window_starts(M, N, banded.window_width(N))
+    assert starts.shape == (B, M // banded.TQ)
+    st = np.asarray(starts)
+    assert (st % 128 == 0).all()
+    assert (st >= 0).all() and (st <= N - s).all()
+
+
+def test_knn_banded_adaptive_contained_and_not_worse(skewed_cloud):
+    """Adaptive-start windows: produced indices lie inside the per-item
+    windows, and window-restricted exactness holds (each query's k results
+    are the true k nearest within ITS window). Adaptive in-window recall
+    of exact neighbors must be >= proportional on the skewed cloud."""
+    p = jnp.asarray(skewed_cloud)
+    B, N = p.shape[:2]
+    M, k = 512, 8
+    fps = jnp.asarray(np.stack([_fps_sorted(q, M) for q in skewed_cloud]))
+    q = jnp.take_along_axis(p, fps[..., None], axis=1)
+    starts = banded.adaptive_down_starts(fps, N)
+    _, s = banded.window_starts(M, N, banded.window_width(N))
+
+    idx_a, dist_a = banded.knn_banded(q, p, k, starts)
+    ia, st = np.asarray(idx_a), np.asarray(starts)
+    rel = ia - np.repeat(st, banded.TQ, axis=1)[:, :, None]
+    assert ((rel >= 0) & (rel < s)).all(), "index outside adaptive window"
+
+    # window-restricted exactness on a few tiles
+    qs, ps = np.asarray(q), np.asarray(p)
+    for b in range(B):
+        for t in (0, M // banded.TQ - 1):
+            w0 = st[b, t]
+            for i in (t * banded.TQ, t * banded.TQ + 63):
+                d = ((ps[b, w0:w0 + s] - qs[b, i]) ** 2).sum(1)
+                best = np.sort(d)[:k]
+                np.testing.assert_allclose(
+                    np.sort(np.asarray(dist_a)[b, i]) ** 2, best,
+                    atol=2e-2, rtol=1e-2,
+                )
+
+    # recall of TRUE neighbors: adaptive >= proportional
+    idx_p, _ = banded.knn_banded(q, p, k)
+    ip = np.asarray(idx_p)
+    hits_a = hits_p = 0
+    for b in range(B):
+        d = ((ps[b][None, :, :] - qs[b][:, None, :]) ** 2).sum(-1)
+        true = np.argsort(d, axis=1)[:, :k]
+        for i in range(M):
+            hits_a += len(set(true[i]) & set(ia[b, i]))
+            hits_p += len(set(true[i]) & set(ip[b, i]))
+    assert hits_a >= hits_p, (hits_a, hits_p)
+
+
+def test_gather_banded_adaptive_matches_take_and_vjp(skewed_cloud):
+    p = jnp.asarray(skewed_cloud)
+    B, N = p.shape[:2]
+    M, k = 512, 8
+    fps = jnp.asarray(np.stack([_fps_sorted(q, M) for q in skewed_cloud]))
+    q = jnp.take_along_axis(p, fps[..., None], axis=1)
+    starts = banded.adaptive_down_starts(fps, N)
+    idx, _ = banded.knn_banded(q, p, k, starts)
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(B, N, 16)).astype(np.float32))
+    got = banded.gather_banded(x, idx, starts)
+    ref = jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
+
+    gb = jax.grad(lambda xx: (banded.gather_banded(xx, idx, starts) ** 2).sum())(x)
+    gr = jax.grad(
+        lambda xx: (jax.vmap(lambda v, ii: jnp.take(v, ii, axis=0))(xx, idx) ** 2).sum()
+    )(x)
+    np.testing.assert_allclose(np.asarray(gb), np.asarray(gr), atol=1e-3, rtol=1e-4)
+
+
+def test_hierarchy_attaches_adaptive_starts(skewed_cloud, monkeypatch):
+    """build_point_hierarchy(banded=True) must attach down/up starts that
+    its own kNN indices are contained in (the gather invariant), and the
+    fps-wire rebuild must reproduce them identically."""
+    from afford_motion_tpu.ops import hierarchy as H
+
+    monkeypatch.setattr(banded, "available", lambda: True)
+    p = jnp.asarray(skewed_cloud)
+    levels = H.build_point_hierarchy(p, (1, 4), (8, 16), banded=True)
+    l1 = levels[1]
+    assert l1.down_starts is not None and l1.up_starts is not None
+    _, s = banded.window_starts(512, 2048, banded.window_width(2048))
+    st = np.asarray(l1.down_starts)
+    rel = np.asarray(l1.down_knn_idx) - np.repeat(st, banded.TQ, axis=1)[:, :, None]
+    assert ((rel >= 0) & (rel < s)).all()
+
+    arrays = {"geo1_fps_idx": l1.fps_idx}
+    rebuilt = H.build_point_hierarchy_from_fps(
+        p, arrays, (1, 4), (8, 16), prefix="geo", banded=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rebuilt[1].down_starts), np.asarray(l1.down_starts)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rebuilt[1].down_knn_idx), np.asarray(l1.down_knn_idx)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(rebuilt[1].up_starts), np.asarray(l1.up_starts)
+    )
