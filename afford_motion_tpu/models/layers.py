@@ -20,11 +20,23 @@ PyTorch-parity notes:
 from __future__ import annotations
 
 import math
+import os
 from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
+
+# Flash (fused, logits-never-in-HBM) attention for the transformer
+# denoisers via the Pallas TPU kernel. The einsum path materializes the
+# (B, H, Lq, Lk) f32 logits + the bf16 weights in HBM every layer — at the
+# sampling chain's 326-token sequences that round-trip is a large share of
+# the per-step time. Opt-in (AM_FLASH_ATTN=1) until verified against the
+# einsum path on the real chip; engages only when attention-weight dropout
+# is inactive (the kernel has none — training keeps the einsum path, which
+# also matches the reference's train-time dropout semantics).
+_FLASH = os.environ.get("AM_FLASH_ATTN", "0") == "1"
 
 
 def sinusoidal_table(max_len: int, dim: int) -> np.ndarray:
@@ -101,6 +113,38 @@ def _attention(
     return o.transpose(0, 2, 1, 3).reshape(B, Lq, -1)
 
 
+def _flash_attention(q, k, v, num_heads, pad_mask):
+    """Fused attention via the Pallas TPU flash kernel: sequences padded to
+    128-multiples; key padding (torch convention True=ignore) expressed as
+    segment ids (padded keys get segment 1, every query stays segment 0 so
+    no query row is fully masked — padded-query outputs are garbage on the
+    einsum path too and are sliced off / masked downstream)."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    B, Lq, D = q.shape
+    Lk = k.shape[1]
+    hd = D // num_heads
+    lqp = -(-Lq // 128) * 128
+    lkp = -(-Lk // 128) * 128
+
+    def heads(x, L, Lp):
+        x = jnp.pad(x, ((0, 0), (0, Lp - L), (0, 0)))
+        return x.reshape(B, Lp, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q_seg = jnp.zeros((B, lqp), dtype=jnp.int32)
+    kv_seg = (
+        pad_mask.astype(jnp.int32) if pad_mask is not None
+        else jnp.zeros((B, Lk), dtype=jnp.int32)
+    )
+    kv_seg = jnp.pad(kv_seg, ((0, 0), (0, lkp - Lk)), constant_values=1)
+    out = fa.flash_attention(
+        heads(q, Lq, lqp), heads(k, Lk, lkp), heads(v, Lk, lkp),
+        segment_ids=fa.SegmentIds(q=q_seg, kv=kv_seg),
+        sm_scale=hd ** -0.5,
+    )
+    return out.transpose(0, 2, 1, 3).reshape(B, lqp, D)[:, :Lq]
+
+
 class TorchMultiHeadAttention(nn.Module):
     """torch.nn.MultiheadAttention-equivalent (packed qkv, out proj)."""
 
@@ -114,8 +158,17 @@ class TorchMultiHeadAttention(nn.Module):
         q = nn.Dense(self.d_model, dtype=self.dtype)(query)
         k = nn.Dense(self.d_model, dtype=self.dtype)(key)
         v = nn.Dense(self.d_model, dtype=self.dtype)(value)
-        drop = nn.Dropout(self.dropout, deterministic=not train)
-        o = _attention(q, k, v, self.num_heads, pad_mask, drop)
+        use_flash = (
+            _FLASH
+            and (not train or self.dropout == 0.0)
+            and jax.default_backend() == "tpu"
+            and (self.d_model // self.num_heads) % 8 == 0
+        )
+        if use_flash:
+            o = _flash_attention(q, k, v, self.num_heads, pad_mask)
+        else:
+            drop = nn.Dropout(self.dropout, deterministic=not train)
+            o = _attention(q, k, v, self.num_heads, pad_mask, drop)
         return nn.Dense(self.d_model, dtype=self.dtype)(o)
 
 
