@@ -63,15 +63,18 @@ import os as _os
 
 _W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 256
 
-# Per-item ADAPTIVE window starts (default on): FPS density varies per
-# scene, so for cross-level kNN/gathers the proportional window centering
-# can miss the query tile's true curve position (measured: down-level
-# in-window recall .87 -> .93 at the same S on room-like clouds,
-# docs/PERF.md "window-locality study"). Starts become a (B, G) operand —
-# a pure function of fps_idx, recomputed identically wherever the
-# geometry is (re)built, so cached kNN indices and per-step gathers always
-# agree. AM_BANDED_ADAPTIVE=0 restores proportional-only windows.
-ADAPTIVE = (_os.environ.get("AM_BANDED_ADAPTIVE", "1") != "0")
+# Per-item ADAPTIVE window starts: FPS density varies per scene, so for
+# cross-level kNN/gathers the proportional window centering can miss the
+# query tile's true curve position (measured: down-level in-window recall
+# .87 -> .93 at the same S on room-like clouds, docs/PERF.md
+# "window-locality study"). Starts become a (B, G) operand — a pure
+# function of fps_idx, recomputed identically wherever the geometry is
+# (re)built, so cached kNN indices and per-step gathers always agree.
+# Default OFF until the compiled (non-interpret) kernels are validated on
+# the real chip — adaptive alone changes accuracy, not speed (same S), so
+# the proven proportional path stays the driver-facing default; flip
+# together with the narrower-window default once the on-chip A/B lands.
+ADAPTIVE = (_os.environ.get("AM_BANDED_ADAPTIVE", "0") == "1")
 
 
 def window_width(n_support: int) -> int:

@@ -251,6 +251,7 @@ def test_hierarchy_attaches_adaptive_starts(skewed_cloud, monkeypatch):
     from afford_motion_tpu.ops import hierarchy as H
 
     monkeypatch.setattr(banded, "available", lambda: True)
+    monkeypatch.setattr(banded, "ADAPTIVE", True)
     p = jnp.asarray(skewed_cloud)
     levels = H.build_point_hierarchy(p, (1, 4), (8, 16), banded=True)
     l1 = levels[1]
