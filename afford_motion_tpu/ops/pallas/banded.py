@@ -98,12 +98,20 @@ def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
 
 
 def _starts_array(b: int, m: int, n: int) -> jnp.ndarray:
-    """Proportional starts as a (B, G) operand (the static policy values,
-    broadcast — bit-identical windows to the list form)."""
+    """Proportional starts as a rank-1 (G,) operand — the static policy
+    values. Kernels read rank-1 starts per tile (the round-1 compiled
+    path, bit-identical) and rank-2 (B, G) starts per item+tile."""
+    del b
     starts, _ = window_starts(m, n, window_width(n))
-    return jnp.broadcast_to(
-        jnp.asarray(starts, dtype=jnp.int32)[None, :], (b, len(starts))
-    )
+    return jnp.asarray(starts, dtype=jnp.int32)
+
+
+def _read_start(starts_ref, b, t):
+    """Per-tile window start from a rank-1 (static policy) or rank-2
+    (per-item adaptive) SMEM starts operand."""
+    if len(starts_ref.shape) == 1:
+        return pl.multiple_of(starts_ref[t], 128)
+    return pl.multiple_of(starts_ref[b, t], 128)
 
 
 def _clip_round_starts(center: jnp.ndarray, n: int, s: int) -> jnp.ndarray:
@@ -165,10 +173,10 @@ _IDX_MASK = (1 << _IDX_BITS) - 1
 
 
 def _knn_kernel(k: int, s: int, starts_ref, q_ref, sT_ref, idx_ref, dist_ref):
-    """starts (B, G) SMEM; q (1, TQ, 3); sT (1, 3, N); out (1, TQ, k)."""
+    """starts (G,)|(B, G) SMEM; q (1, TQ, 3); sT (1, 3, N); out (1, TQ, k)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[b, t], 128)
+    start = _read_start(starts_ref, b, t)
     q = q_ref[0]                               # (TQ, 3)
     sw = sT_ref[0, :, pl.ds(start, s)]         # (3, S) window slice
 
@@ -243,10 +251,10 @@ def _onehot(idx_block, start, K, s, dtype):
 
 
 def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
-    """starts (B, G) SMEM; idx (1, TQ, K) VMEM; x (1, N, C); o (1, TQ*K, C)."""
+    """starts (G,)|(B, G) SMEM; idx (1, TQ, K) VMEM; x (1, N, C); o (1, TQ*K, C)."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[b, t], 128)
+    start = _read_start(starts_ref, b, t)
     xw = x_ref[0, pl.ds(start, s), :]                       # (S, C)
     onehot = _onehot(idx_ref[0], start, K, s, xw.dtype)     # (TQ*K, S)
     o_ref[0] = jax.lax.dot_general(
@@ -259,7 +267,7 @@ def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
     """Transposed one-hot matmul: o (1, 1, S, C) per-tile window slice."""
     b = pl.program_id(0)
     t = pl.program_id(1)
-    start = pl.multiple_of(starts_ref[b, t], 128)
+    start = _read_start(starts_ref, b, t)
     g = g_ref[0]                                            # (TQ*K, C)
     onehot = _onehot(idx_ref[0], start, K, s, g.dtype)
     o_ref[0, 0] = jax.lax.dot_general(
@@ -315,10 +323,19 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray,
         out_shape=jax.ShapeDtypeStruct((B, G, s, C), jnp.float32),
         interpret=_interpret(),
     )(starts_arr, idx, g.reshape(B, M * K, C))
-    # Fold overlapping per-tile windows into (B, n, C) with ONE block-level
-    # one-hot einsum over 128-row blocks (supports per-item dynamic starts;
-    # also replaces G serial read-modify-write slice-adds with an MXU
-    # matmul whose FLOPs are negligible: B*G*(S/128)*(n/128)*(128C)*2).
+    if starts_arr.ndim == 1:
+        # static proportional starts: fold with static dynamic-update adds
+        # (the round-1 compiled path, unchanged)
+        starts, _ = window_starts(M, n, window_width(n))
+        dx = jnp.zeros((B, n, C), dtype=jnp.float32)
+        for t, st in enumerate(starts):
+            dx = dx.at[:, st: st + s, :].add(tiles[:, t])
+        return dx.astype(g.dtype)
+    # Per-item starts: fold overlapping per-tile windows into (B, n, C)
+    # with ONE block-level one-hot einsum over 128-row blocks — handles
+    # dynamic offsets and replaces G serial read-modify-write slice-adds
+    # with an MXU matmul whose FLOPs are negligible:
+    # B*G*(S/128)*(n/128)*(128C)*2.
     kb, nb = s // 128, n // 128
     blocks = starts_arr // 128                                    # (B, G)
     oh = (
@@ -362,9 +379,8 @@ def gather_banded(x: jnp.ndarray, idx: jnp.ndarray,
         _, M, K = idx.shape
         N = x.shape[1]
         _, s = window_starts(M, N, window_width(N))
-        rel = _np.asarray(idx) - _np.repeat(
-            _np.asarray(starts, dtype=_np.int32), TQ, axis=1
-        )[:, :, None]
+        st2 = _np.atleast_2d(_np.asarray(starts, dtype=_np.int32))
+        rel = _np.asarray(idx) - _np.repeat(st2, TQ, axis=1)[:, :, None]
         assert bool(((rel >= 0) & (rel < s)).all()), (
             "gather_banded: index outside its curve window "
             f"(M={M}, N={N}, S={s})"
