@@ -188,6 +188,18 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
     os.makedirs(out_dir, exist_ok=True)
     n = len(bases)
 
+    # geometry-cache staleness guard: caches built BEFORE a `sort` re-run
+    # reference pre-sort row positions — their indices would silently
+    # train wrong neighborhoods. Each cache npz carries an `fp` crc32 of
+    # the exact point bytes it was built from (prepare.py geometry);
+    # load_item verifies it against the points it just read, and any
+    # mismatch strips ALL geo fields from the finished pack (fields must
+    # be uniform across items; train falls back to the in-step hierarchy
+    # build). Caches without `fp` predate the guard and are trusted.
+    import zlib
+
+    stale_geo = [0]
+
     # motion padding cap: one cheap header-only pass over the lengths
     max_len = 0
     if motion_npy is not None:
@@ -232,7 +244,13 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
             if not os.path.exists(f):
                 continue
             g = np.load(f)
+            if "fp" in g.files and np.uint32(
+                zlib.crc32(pts[:, :3].astype(np.float32).tobytes()) & 0xFFFFFFFF
+            ) != g["fp"]:
+                stale_geo[0] += 1
             for k in g.files:
+                if k == "fp":
+                    continue
                 v = g[k]
                 if v.dtype == np.float32 and k.endswith("_up_weight"):
                     v = v.astype(np.float16)
@@ -257,6 +275,22 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
     for w in writers.values():
         w.flush()
         del w
+
+    if stale_geo[0]:
+        geo_keys = [k for k in writers if k.startswith("geo_")]
+        logger.warning(
+            f"geometry cache fingerprint mismatch on {stale_geo[0]}/{n} "
+            "items (points changed after the cache was built — e.g. "
+            "`prepare.py sort` ran after `geometry`); stripping "
+            f"{len(geo_keys)} cached geometry fields from the pack. Re-run "
+            "`prepare.py geometry` then `pack` to restore the fps wire."
+        )
+        for k in geo_keys:
+            del writers[k]
+            try:
+                os.remove(os.path.join(out_dir, k + ".npy"))
+            except OSError:
+                pass
 
     # every item must be sorted along the SAME locality curve for the
     # banded windowed kernels; meta['morton'] keeps its historical name

@@ -123,7 +123,14 @@ def cmd_geometry(args) -> None:
                 v = v.astype(np.int16)  # halves wire/disk size; cast back on device
             arrays[k] = v
         for b, f in enumerate(chunk):
-            np.savez(os.path.join(out_dir, f"{name_of(f)}.npz"),
+            # fingerprint of the exact point bytes the cache was built
+            # from: `pack` verifies it so caches generated BEFORE a
+            # `sort` re-run (stale row order -> wrong indices) are
+            # detected instead of silently training on bad neighborhoods
+            import zlib
+
+            fp = np.uint32(zlib.crc32(xyz[b].tobytes()) & 0xFFFFFFFF)
+            np.savez(os.path.join(out_dir, f"{name_of(f)}.npz"), fp=fp,
                      **{k: v[b] for k, v in arrays.items()})
         logger.info(f"geometry {start + len(chunk)}/{len(contact_files)}")
     logger.info(f"wrote geometry cache to {out_dir}")

@@ -217,3 +217,46 @@ def test_motionx_contact_map_packed_equivalence(packed_dir):
         np.asarray(a["c_pc_feat"], np.float32),
         np.asarray(b["c_pc_feat"], np.float32), atol=1e-2,
     )
+
+
+def test_pack_detects_stale_geometry(tmp_path):
+    """Geometry caches built BEFORE a later `sort` re-run reference
+    pre-sort row positions; the fp fingerprint must catch the mismatch and
+    strip all cached geometry from the pack (fps wire falls back to the
+    in-step hierarchy build instead of training wrong neighborhoods)."""
+    import prepare as prepare_cli
+
+    data_dir = make_synthetic_data_dir(str(tmp_path), n_items=3,
+                                       num_points=N_POINTS)
+    prepare_cli.cmd_geometry(argparse.Namespace(
+        out_dir=data_dir, dataset="H3D", kind="sm", batch_size=4,
+    ))
+    # invalidate: sort AFTER geometry (rewrites point rows)
+    prepare_cli.cmd_sort(argparse.Namespace(
+        out_dir=data_dir, dataset="H3D", curve="hilbert",
+    ))
+    out = pack_h3d(data_dir)
+    store = PackedStore.try_open(out)
+    assert store is not None
+    assert not store.geo_keys, "stale geometry fields must be stripped"
+    assert not any(k.startswith("geo_") for k in store.meta["fields"])
+
+
+def test_pack_accepts_fresh_geometry(tmp_path):
+    """Sorted first, then geometry + pack: fingerprints match and the geo
+    fields survive."""
+    import prepare as prepare_cli
+
+    data_dir = make_synthetic_data_dir(str(tmp_path), n_items=3,
+                                       num_points=N_POINTS)
+    prepare_cli.cmd_sort(argparse.Namespace(
+        out_dir=data_dir, dataset="H3D", curve="hilbert",
+    ))
+    prepare_cli.cmd_geometry(argparse.Namespace(
+        out_dir=data_dir, dataset="H3D", kind="sm", batch_size=4,
+    ))
+    out = pack_h3d(data_dir)
+    store = PackedStore.try_open(out)
+    assert store is not None
+    assert store.geo_keys, "fresh geometry fields must be kept"
+    assert store.meta.get("curve") == "hilbert"
