@@ -198,7 +198,7 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
     # build). Caches without `fp` predate the guard and are trusted.
     import zlib
 
-    stale_geo = [0]
+    stale_geo: set = set()  # item bases with any mismatching cache file
 
     # motion padding cap: one cheap header-only pass over the lengths
     max_len = 0
@@ -215,14 +215,14 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
     # after sorting) must not enable the banded windowed kernels. Checked
     # on the full-precision source points (the f16 wire copy would
     # tie-break differently and fail the monotonicity check).
-    from ..ops.curves import detect_curve
+    from ..ops.curves import matching_curves
 
     curve_flags: list = []
 
     def load_item(base: str) -> Dict[str, np.ndarray]:
         npz = np.load(contact_npz(base))
         pts = npz["points"].astype(np.float32)
-        curve_flags.append(detect_curve(pts[:, :3]))
+        curve_flags.append(matching_curves(pts[:, :3]))
         dist = extract_contact(
             npz["dist"].astype(np.float32), contact_type, contact_joints
         )
@@ -247,7 +247,7 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
             if "fp" in g.files and np.uint32(
                 zlib.crc32(pts[:, :3].astype(np.float32).tobytes()) & 0xFFFFFFFF
             ) != g["fp"]:
-                stale_geo[0] += 1
+                stale_geo.add(base)
             for k in g.files:
                 if k == "fp":
                     continue
@@ -276,10 +276,10 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
         w.flush()
         del w
 
-    if stale_geo[0]:
+    if stale_geo:
         geo_keys = [k for k in writers if k.startswith("geo_")]
         logger.warning(
-            f"geometry cache fingerprint mismatch on {stale_geo[0]}/{n} "
+            f"geometry cache fingerprint mismatch on {len(stale_geo)}/{n} "
             "items (points changed after the cache was built — e.g. "
             "`prepare.py sort` ran after `geometry`); stripping "
             f"{len(geo_keys)} cached geometry fields from the pack. Re-run "
@@ -292,17 +292,24 @@ def _pack(out_dir, bases, contact_npz, geo_npz, contact_type, contact_joints,
             except OSError:
                 pass
 
-    # every item must be sorted along the SAME locality curve for the
-    # banded windowed kernels; meta['morton'] keeps its historical name
-    # ("banded-eligible order") with meta['curve'] naming which curve
-    curve = curve_flags[0] if curve_flags else None
-    is_sorted = curve is not None and all(c == curve for c in curve_flags)
-    if curve_flags and not is_sorted:
-        n_bad = sum(1 for c in curve_flags if c != curve)
+    # banded-eligibility: every item must be monotone under SOME locality
+    # curve (window locality is per-item; the label itself is irrelevant
+    # at runtime — degenerate clouds can match both). meta['morton'] keeps
+    # its historical name ("banded-eligible order"); meta['curve'] reports
+    # a curve every item matches, else 'mixed'.
+    is_sorted = bool(curve_flags) and all(curve_flags)
+    curve = None
+    if is_sorted:
+        common = set(curve_flags[0])
+        for flags in curve_flags[1:]:
+            common &= set(flags)
+        curve = min(common) if common else "mixed"
+    elif curve_flags:
+        n_bad = sum(1 for flags in curve_flags if not flags)
         logger.warning(
-            f"{n_bad}/{len(curve_flags)} items are not "
-            f"{curve or 'curve'}-sorted; banded kernels will stay off for "
-            "this store (run `prepare.py sort` then re-run geometry + pack)"
+            f"{n_bad}/{len(curve_flags)} items are not curve-sorted; "
+            "banded kernels will stay off for this store "
+            "(run `prepare.py sort` then re-run geometry + pack)"
         )
     meta = {
         "version": VERSION,

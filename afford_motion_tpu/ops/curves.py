@@ -101,15 +101,21 @@ def curve_order(points: np.ndarray, curve: str, bits: int = 10) -> np.ndarray:
     return np.argsort(curve_codes(points, curve, bits), kind="stable")
 
 
-def detect_curve(points: np.ndarray, bits: int = 10) -> str | None:
-    """Which supported curve (if any) the rows are already sorted by.
-
-    Checked on full-precision points; returns the first match in CURVES
-    order (a cloud can in principle be monotone under both — any match
-    makes the banded kernels applicable).
-    """
+def matching_curves(points: np.ndarray, bits: int = 10) -> tuple:
+    """All supported curves the rows are monotone under (checked on
+    full-precision points). What the banded kernels actually require is
+    monotonicity under SOME locality curve per item — degenerate clouds
+    (constant/duplicated coordinates) can be monotone under both."""
+    matches = []
     for curve in CURVES:
         codes = curve_codes(points, curve, bits)
         if bool(np.all(codes[:-1] <= codes[1:])):
-            return curve
-    return None
+            matches.append(curve)
+    return tuple(matches)
+
+
+def detect_curve(points: np.ndarray, bits: int = 10) -> str | None:
+    """First matching curve in CURVES order, or None (see
+    ``matching_curves`` for the multi-match form)."""
+    matches = matching_curves(points, bits)
+    return matches[0] if matches else None

@@ -44,12 +44,9 @@ def sort_contact_npz(npz_path: str, out_path: str | None = None,
     data = dict(np.load(npz_path))
     if "points" not in data:
         return False
-    if curve == "morton":
-        order = morton_order(np.asarray(data["points"])[:, :3])
-    else:
-        from .curves import curve_order
+    from .curves import curve_order
 
-        order = curve_order(np.asarray(data["points"])[:, :3], curve)
+    order = curve_order(np.asarray(data["points"])[:, :3], curve)
     for key, v in data.items():
         if isinstance(v, np.ndarray) and v.ndim >= 1 and v.shape[0] == len(order):
             data[key] = v[order]

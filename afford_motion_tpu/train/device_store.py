@@ -428,13 +428,18 @@ class DeviceStore:
             levels_bytes.setdefault((prefix_of(k), level_of(k)), 0)
             levels_bytes[(prefix_of(k), level_of(k))] += v.nbytes
         kept_groups = set()
+        stopped_prefixes = set()
         budget_left = max_bytes - existing
         for grp in sorted(levels_bytes, key=lambda g: -g[1]):  # deepest first
+            if grp[0] in stopped_prefixes:
+                continue  # keep each prefix's kept set a contiguous deep suffix
             if levels_bytes[grp] <= budget_left:
                 kept_groups.add(grp)
                 budget_left -= levels_bytes[grp]
             else:
-                break  # keep a contiguous deep suffix of levels only
+                # this prefix stops here, but deeper-level groups of OTHER
+                # prefixes may still fit
+                stopped_prefixes.add(grp[0])
         kept = {k: v for k, v in new_host.items()
                 if (prefix_of(k), level_of(k)) in kept_groups}
         if not kept:

@@ -78,10 +78,11 @@ if __name__ == "__main__":
     def denoise1(variables, xt, cond, enc):
         ch = add_hierarchies(model, cond)
         t = jnp.full((B,), 500, dtype=jnp.int32)
-        out = model.apply(variables, xt, t, ch, enc, train=False,
-                          method=denoise_method)
-        # one q_posterior-ish elementwise pass to approximate the scan body
-        return out
+        # NOTE: denoiser trunk only — the scan body additionally runs the
+        # q_posterior elementwise math, so part of the reported "scan
+        # overhead" is that per-step posterior pass, not pure dispatch
+        return model.apply(variables, xt, t, ch, enc, train=False,
+                           method=denoise_method)
 
     results["denoise1"] = _time(denoise1, variables, x, cond, enc)
 
