@@ -62,6 +62,10 @@ class CMDM(nn.Module):
     # approx_min_k) — the reference-parity eval path; see PARITY.md's
     # measured metric deltas for the shipped default
     knn_exact: bool = False
+    # ONE packed qkv matmul per attention instead of three (same math,
+    # different param tree — torch's in_proj is packed the same way);
+    # must match the checkpoint layout it loads
+    fused_qkv: bool = False
 
     @property
     def needs_scenemap_hierarchy(self) -> bool:
@@ -93,6 +97,7 @@ class CMDM(nn.Module):
                 dropout=self.dropout,
                 activation=nn.gelu,
                 dtype=self.dtype,
+                fused_qkv=self.fused_qkv,
             )
         elif self.arch == "trans_dec":
             self.contact_encoder = SceneMapEncoderDecoder(
@@ -108,6 +113,7 @@ class CMDM(nn.Module):
                     dropout=self.dropout,
                     activation=nn.gelu,
                     dtype=self.dtype,
+                    fused_qkv=self.fused_qkv,
                 )
                 for n in self.num_layers
             ]
@@ -125,6 +131,7 @@ class CMDM(nn.Module):
                     dropout=self.dropout,
                     activation=nn.gelu,
                     dtype=self.dtype,
+                    fused_qkv=self.fused_qkv,
                 )
                 for _ in range(len(self.num_layers) - 1)
             ]
@@ -271,4 +278,5 @@ def build_cmdm(model_cfg: Any) -> CMDM:
         # normally set by the TrainLoop for Morton-sorted packed data;
         # config override enables eval-side banded runs (metric A/B)
         use_banded=bool(model_cfg.get("use_banded", False)),
+        fused_qkv=bool(model_cfg.get("fused_qkv", False)),
     )

@@ -146,18 +146,35 @@ def _flash_attention(q, k, v, num_heads, pad_mask):
 
 
 class TorchMultiHeadAttention(nn.Module):
-    """torch.nn.MultiheadAttention-equivalent (packed qkv, out proj)."""
+    """torch.nn.MultiheadAttention-equivalent (packed qkv, out proj).
+
+    ``fused_qkv=True`` computes the projections as ONE matmul when the
+    call is self-attention (query is key is value) or a kv-shared cross
+    (key is value): torch's in_proj is packed the same way, so the
+    converted checkpoint layout is actually simpler; 3 small matmuls
+    become one (B*L, d)x(d, 3d) MXU pass. Changes the param tree
+    (Dense_0 packed + Dense_1 out), so the flag must match the
+    checkpoint it loads."""
 
     d_model: int
     num_heads: int
     dropout: float = 0.0
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, query, key, value, pad_mask=None, *, train: bool = False):
-        q = nn.Dense(self.d_model, dtype=self.dtype)(query)
-        k = nn.Dense(self.d_model, dtype=self.dtype)(key)
-        v = nn.Dense(self.d_model, dtype=self.dtype)(value)
+        if self.fused_qkv and key is query and value is query:
+            qkv = nn.Dense(3 * self.d_model, dtype=self.dtype)(query)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        elif self.fused_qkv and key is value:
+            q = nn.Dense(self.d_model, dtype=self.dtype)(query)
+            kv = nn.Dense(2 * self.d_model, dtype=self.dtype)(key)
+            k, v = jnp.split(kv, 2, axis=-1)
+        else:
+            q = nn.Dense(self.d_model, dtype=self.dtype)(query)
+            k = nn.Dense(self.d_model, dtype=self.dtype)(key)
+            v = nn.Dense(self.d_model, dtype=self.dtype)(value)
         use_flash = (
             _FLASH
             and (not train or self.dropout == 0.0)
@@ -182,12 +199,14 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: Callable = nn.gelu
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask=None, *, train: bool = False):
         x = x.astype(self.dtype)
         attn = TorchMultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout, dtype=self.dtype
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
+            fused_qkv=self.fused_qkv,
         )(x, x, x, pad_mask, train=train)
         x = x + nn.Dropout(self.dropout, deterministic=not train)(attn)
         x = nn.LayerNorm(dtype=jnp.float32)(x).astype(self.dtype)
@@ -209,6 +228,7 @@ class TransformerEncoder(nn.Module):
     dropout: float = 0.1
     activation: Callable = nn.gelu
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, pad_mask=None, *, train: bool = False):
@@ -216,6 +236,7 @@ class TransformerEncoder(nn.Module):
             x = TransformerEncoderLayer(
                 self.d_model, self.num_heads, self.dim_feedforward,
                 self.dropout, self.activation, dtype=self.dtype,
+                fused_qkv=self.fused_qkv,
             )(x, pad_mask, train=train)
         return x
 
@@ -230,6 +251,7 @@ class TransformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     activation: Callable = nn.gelu
     dtype: Any = jnp.float32
+    fused_qkv: bool = False
 
     @nn.compact
     def __call__(self, x, memory, tgt_pad_mask=None, mem_pad_mask=None, *, train: bool = False):
@@ -237,11 +259,13 @@ class TransformerDecoderLayer(nn.Module):
         memory = memory.astype(self.dtype)
         drop = lambda: nn.Dropout(self.dropout, deterministic=not train)
         attn = TorchMultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout, dtype=self.dtype
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
+            fused_qkv=self.fused_qkv,
         )(x, x, x, tgt_pad_mask, train=train)
         x = nn.LayerNorm(dtype=jnp.float32)(x + drop()(attn)).astype(self.dtype)
         cross = TorchMultiHeadAttention(
-            self.d_model, self.num_heads, self.dropout, dtype=self.dtype
+            self.d_model, self.num_heads, self.dropout, dtype=self.dtype,
+            fused_qkv=self.fused_qkv,
         )(x, memory, memory, mem_pad_mask, train=train)
         x = nn.LayerNorm(dtype=jnp.float32)(x + drop()(cross)).astype(self.dtype)
         h = nn.Dense(self.dim_feedforward, dtype=self.dtype)(x)

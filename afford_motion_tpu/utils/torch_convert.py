@@ -190,11 +190,27 @@ def convert_scenemap_encoder(sd: Dict, blocks: Sequence[int] = (2, 2, 2, 2),
 
 
 # ------------------------------------------------------- transformer mapping
-def _torch_mha(sd: Dict, p: str) -> Dict:
-    """torch nn.MultiheadAttention packed qkv -> TorchMultiHeadAttention."""
+def _torch_mha(sd: Dict, p: str, fused: bool = False,
+               fused_kv: bool = False) -> Dict:
+    """torch nn.MultiheadAttention packed qkv -> TorchMultiHeadAttention.
+
+    ``fused``: keep torch's packed in_proj as ONE Dense (the model's
+    fused_qkv=True layout — a direct copy). ``fused_kv``: q separate,
+    k+v packed (cross-attention where key is value)."""
     w = sd[f"{p}.in_proj_weight"]
     b = sd[f"{p}.in_proj_bias"]
     d = w.shape[1]
+    if fused:
+        return {
+            "Dense_0": {"kernel": w.T, "bias": b},
+            "Dense_1": _dense(sd, f"{p}.out_proj"),
+        }
+    if fused_kv:
+        return {
+            "Dense_0": {"kernel": w[:d].T, "bias": b[:d]},
+            "Dense_1": {"kernel": w[d:].T, "bias": b[d:]},
+            "Dense_2": _dense(sd, f"{p}.out_proj"),
+        }
     return {
         "Dense_0": {"kernel": w[:d].T, "bias": b[:d]},
         "Dense_1": {"kernel": w[d:2 * d].T, "bias": b[d:2 * d]},
@@ -203,10 +219,11 @@ def _torch_mha(sd: Dict, p: str) -> Dict:
     }
 
 
-def convert_torch_encoder_layer(sd: Dict, p: str) -> Dict:
+def convert_torch_encoder_layer(sd: Dict, p: str, fused_qkv: bool = False) -> Dict:
     """torch nn.TransformerEncoderLayer -> flax TransformerEncoderLayer."""
     return {
-        "TorchMultiHeadAttention_0": _torch_mha(sd, f"{p}.self_attn"),
+        "TorchMultiHeadAttention_0": _torch_mha(sd, f"{p}.self_attn",
+                                                fused=fused_qkv),
         "LayerNorm_0": _layernorm(sd, f"{p}.norm1"),
         "Dense_0": _dense(sd, f"{p}.linear1"),
         "Dense_1": _dense(sd, f"{p}.linear2"),
@@ -214,19 +231,26 @@ def convert_torch_encoder_layer(sd: Dict, p: str) -> Dict:
     }
 
 
-def convert_torch_encoder(sd: Dict, p: str, num_layers: int) -> Dict:
+def convert_torch_encoder(sd: Dict, p: str, num_layers: int,
+                          fused_qkv: bool = False) -> Dict:
     return {
-        f"TransformerEncoderLayer_{i}": convert_torch_encoder_layer(sd, f"{p}.layers.{i}")
+        f"TransformerEncoderLayer_{i}": convert_torch_encoder_layer(
+            sd, f"{p}.layers.{i}", fused_qkv
+        )
         for i in range(num_layers)
     }
 
 
-def convert_torch_decoder_layer(sd: Dict, p: str) -> Dict:
+def convert_torch_decoder_layer(sd: Dict, p: str,
+                                fused_qkv: bool = False) -> Dict:
     """torch nn.TransformerDecoderLayer -> flax TransformerDecoderLayer."""
     return {
-        "TorchMultiHeadAttention_0": _torch_mha(sd, f"{p}.self_attn"),
+        "TorchMultiHeadAttention_0": _torch_mha(sd, f"{p}.self_attn",
+                                                fused=fused_qkv),
         "LayerNorm_0": _layernorm(sd, f"{p}.norm1"),
-        "TorchMultiHeadAttention_1": _torch_mha(sd, f"{p}.multihead_attn"),
+        # cross-attn: key is value (memory) -> q separate, packed kv
+        "TorchMultiHeadAttention_1": _torch_mha(sd, f"{p}.multihead_attn",
+                                                fused_kv=fused_qkv),
         "LayerNorm_1": _layernorm(sd, f"{p}.norm2"),
         "Dense_0": _dense(sd, f"{p}.linear1"),
         "Dense_1": _dense(sd, f"{p}.linear2"),
@@ -236,7 +260,8 @@ def convert_torch_decoder_layer(sd: Dict, p: str) -> Dict:
 
 # ----------------------------------------------------------------- CMDM
 def convert_cmdm_checkpoint(path_or_sd, *, num_layers: Sequence[int] = (1, 1, 1, 1, 1),
-                            blocks: Sequence[int] = (2, 2, 2, 2), arch: str = "trans_enc"):
+                            blocks: Sequence[int] = (2, 2, 2, 2), arch: str = "trans_enc",
+                            fused_qkv: bool = False):
     """Reference CMDM model{step}.pt -> flax CMDM variables (trans_enc and
     trans_dec). Frozen CLIP/BERT weights are absent from the reference
     checkpoint (stripped at save, training.py:92-106) and not needed
@@ -255,13 +280,15 @@ def convert_cmdm_checkpoint(path_or_sd, *, num_layers: Sequence[int] = (1, 1, 1,
         sm_p, sm_s = convert_scenemap_encoder(sd, blocks, "contact_encoder.", with_decoder=False)
         params["contact_encoder"] = sm_p
         params["contact_adapter"] = _dense(sd, "contact_adapter")
-        params["self_attn_layer"] = convert_torch_encoder(sd, "self_attn_layer", sum(num_layers))
+        params["self_attn_layer"] = convert_torch_encoder(
+            sd, "self_attn_layer", sum(num_layers), fused_qkv
+        )
     elif arch == "trans_dec":
         sm_p, sm_s = convert_scenemap_encoder(sd, blocks, "contact_encoder.", with_decoder=True)
         params["contact_encoder"] = sm_p
         for i, n in enumerate(num_layers):
             params[f"self_attn_layers_{i}"] = convert_torch_encoder(
-                sd, f"self_attn_layers.{i}", n
+                sd, f"self_attn_layers.{i}", n, fused_qkv
             )
         for i in range(len(num_layers) - 1):
             params[f"kv_mapping_layers_{i}"] = {
@@ -269,7 +296,7 @@ def convert_cmdm_checkpoint(path_or_sd, *, num_layers: Sequence[int] = (1, 1, 1,
                 "LayerNorm_0": _layernorm(sd, f"kv_mappling_layers.{i}.1"),
             }
             params[f"cross_attn_layers_{i}"] = convert_torch_decoder_layer(
-                sd, f"cross_attn_layers.{i}"
+                sd, f"cross_attn_layers.{i}", fused_qkv
             )
     else:
         raise NotImplementedError(arch)

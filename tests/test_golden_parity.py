@@ -155,6 +155,20 @@ def test_cmdm_golden(arch):
         err16 = _rel_err(out_bf16[valid], out_t[valid])
         assert err16 < 0.05, f"CMDM bf16 forward rel err {err16}"
 
+    # fused-qkv layout (one packed in_proj matmul — torch's native packing):
+    # convert with fused_qkv=True, run the fused model, same outputs
+    converted_f = convert_cmdm_checkpoint(
+        state_dict_numpy(model_t), num_layers=nl, blocks=(2, 2, 2, 2),
+        arch=arch, fused_qkv=True,
+    )
+    out_f = np.asarray(
+        model_j.clone(fused_qkv=True).apply(
+            converted_f, jnp.asarray(x), jnp.asarray(t), cond
+        )
+    )
+    err_f = _rel_err(out_f[valid], out_t[valid])
+    assert err_f < 2e-3, f"CMDM {arch} fused-qkv forward rel err {err_f}"
+
 
 def _cdm_cfg(arch: str) -> Cfg:
     # MLP uses the openscene path (point_feat_dim=1): the reference's
