@@ -358,9 +358,46 @@ def _contact_mlp(sd: Dict, n_layers: int) -> Dict:
     return out
 
 
+def _contact_pointtrans(sd: Dict, blocks: Sequence[int], v2: bool):
+    """ContactPointTrans(V2) inside a CDM checkpoint -> the flax
+    ContactPointTrans compact-module tree (reference: models/cdm.py:190-410).
+    Reuses the shared PT stage converters; ctx MLPs map in creation order
+    (v1: one bottleneck ctx; v2: ctx4/ctx3/ctx2 -> _CtxMLP_0..2) and the
+    v2 bottleneck self-attention maps to TransformerEncoder_0."""
+    p = "contact_model"
+    params, stats = {}, {}
+    enc_p, enc_s = convert_point_encoder(sd, blocks, f"{p}.")
+    params.update(enc_p)
+    stats.update(enc_s)
+    dec_p, dec_s = convert_point_decoder(sd, len(blocks), f"{p}.")
+    params.update(dec_p)
+    stats.update(dec_s)
+
+    def ctx(torch_name):
+        return (
+            {
+                "Dense_0": _dense(sd, f"{p}.{torch_name}.0"),
+                "PointNorm_0": _bn_params(sd, f"{p}.{torch_name}.1"),
+                "Dense_1": _dense(sd, f"{p}.{torch_name}.3"),
+            },
+            {"PointNorm_0": _bn_stats(sd, f"{p}.{torch_name}.1")},
+        )
+
+    if v2:
+        for i, name in enumerate(("ctx4", "ctx3", "ctx2")):
+            params[f"_CtxMLP_{i}"], stats[f"_CtxMLP_{i}"] = ctx(name)
+        params["TransformerEncoder_0"] = convert_torch_encoder(
+            sd, f"{p}.self_attn_layers", 1
+        )
+    else:
+        params["_CtxMLP_0"], stats["_CtxMLP_0"] = ctx("ctx")
+    return params, stats
+
+
 def convert_cdm_checkpoint(path_or_sd, *, self_attn_layers: int = 2,
-                           arch: str = "Perceiver", mlp_layers: int = 2):
-    """Reference CDM model{step}.pt (Perceiver or MLP arch) -> flax CDM
+                           arch: str = "Perceiver", mlp_layers: int = 2,
+                           pt_blocks: Sequence[int] = (2, 2, 2, 2)):
+    """Reference CDM model{step}.pt (any of the 4 archs) -> flax CDM
     variables. Frozen CLIP + scene-model weights are stripped from the
     reference checkpoint; the published t2m config uses
     use_scene_model=False."""
@@ -375,7 +412,18 @@ def convert_cdm_checkpoint(path_or_sd, *, self_attn_layers: int = 2,
             "contact_layer": _dense(sd, "contact_layer"),
         }
         return {"params": params, "batch_stats": {}}
-    assert arch == "Perceiver", "PointTrans conversion via convert_point_* helpers"
+    if arch in ("PointTrans", "PointTransV2"):
+        cm_p, cm_s = _contact_pointtrans(sd, pt_blocks, v2=arch == "PointTransV2")
+        params = {
+            "timestep_embedder": {
+                "Dense_0": _dense(sd, "timestep_embedder.time_embed.0"),
+                "Dense_1": _dense(sd, "timestep_embedder.time_embed.2"),
+            },
+            "contact_model": cm_p,
+            "contact_layer": _dense(sd, "contact_layer"),
+        }
+        return {"params": params, "batch_stats": {"contact_model": cm_s}}
+    assert arch == "Perceiver", f"unknown CDM arch {arch}"
     cm = "contact_model"
     contact_model = {
         "Dense_0": _dense(sd, f"{cm}.encoder_adapter"),

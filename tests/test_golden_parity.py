@@ -276,3 +276,68 @@ def test_cdm_golden(arch):
     assert out_j.shape == out_t.shape
     err = _rel_err(out_j, out_t)
     assert err < 1e-3, f"CDM {arch} forward rel err {err}"
+
+
+@pytest.mark.parametrize("arch", ["PointTrans", "PointTransV2"])
+def test_cdm_pointtrans_golden(arch):
+    """CDM stage-1 denoiser, ContactPointTrans(V2) U-Net archs
+    (reference: cdm.py:190-410) — completes golden conversion coverage of
+    all four CDM backbones."""
+    from afford_motion_tpu.models.cdm import (
+        CDM, CDM_PT_NSAMPLES, CDM_PT_STRIDES,
+    )
+    from afford_motion_tpu.ops import build_point_hierarchy
+
+    ref = load_reference()
+    cfg = Cfg(
+        data_repr="contact_cont_joints", input_feats=6, time_emb_dim=64,
+        arch=arch,
+        text_model=Cfg(version="ViT-B/32", max_length=32),
+        scene_model=Cfg(use_scene_model=True, use_openscene=True,
+                        point_feat_dim=1),
+        arch_pointtrans=Cfg(num_points=1024, blocks=[2, 2, 2, 2],
+                            last_dim=64),
+    )
+    model_t = ref.cdm.CDM(cfg)
+    randomize_module(model_t, seed=41)
+    model_t.eval()
+
+    B, N = 2, 1024
+    text_emb = rng.normal(size=(B, 512)).astype(np.float32)
+    ref.cdm.encode_text_clip = (
+        lambda model, texts, max_length=32, device="cpu":
+        torch.from_numpy(text_emb)
+    )
+
+    xyz = rng.normal(size=(B, N, 3)).astype(np.float32)
+    x = rng.normal(size=(B, N, 6)).astype(np.float32)
+    pc_feat = rng.normal(size=(B, N, 1)).astype(np.float32)
+    t = np.array([7, 450], dtype=np.int64)
+
+    with torch.no_grad():
+        out_t = model_t(
+            torch.from_numpy(x), torch.from_numpy(t),
+            c_text=["a", "b"], c_pc_xyz=torch.from_numpy(xyz),
+            c_pc_feat=torch.from_numpy(pc_feat),
+        ).numpy()
+
+    converted = convert_cdm_checkpoint(state_dict_numpy(model_t), arch=arch)
+    model_j = CDM(
+        contact_dim=6, time_emb_dim=64, text_feat_dim=512, point_feat_dim=1,
+        use_scene_model=True, use_openscene=True, arch=arch,
+        arch_cfg=(), last_dim=64,
+    )
+    jxyz = jnp.asarray(xyz)
+    cond = {
+        "text_emb": jnp.asarray(text_emb[:, None, :]),
+        "c_pc_xyz": jxyz,
+        "c_pc_feat": jnp.asarray(pc_feat),
+        "levels_pt": build_point_hierarchy(jxyz, CDM_PT_STRIDES, CDM_PT_NSAMPLES),
+    }
+    out_j = np.asarray(
+        model_j.apply(converted, jnp.asarray(x), jnp.asarray(t), cond)
+    )
+
+    assert out_j.shape == out_t.shape
+    err = _rel_err(out_j, out_t)
+    assert err < 2e-3, f"CDM {arch} forward rel err {err}"
