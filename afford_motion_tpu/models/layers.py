@@ -39,6 +39,12 @@ from flax import linen as nn
 _FLASH = os.environ.get("AM_FLASH_ATTN", "0") == "1"
 
 
+def _flash_enabled() -> bool:
+    """Flash-kernel gate (split out so tests can patch it without touching
+    the global backend query other TPU-gated paths share)."""
+    return _FLASH and jax.default_backend() == "tpu"
+
+
 def sinusoidal_table(max_len: int, dim: int) -> np.ndarray:
     """Classic transformer sin/cos table, (max_len, dim), float32
     (reference: models/modules.py:10-26)."""
@@ -176,9 +182,8 @@ class TorchMultiHeadAttention(nn.Module):
             k = nn.Dense(self.d_model, dtype=self.dtype)(key)
             v = nn.Dense(self.d_model, dtype=self.dtype)(value)
         use_flash = (
-            _FLASH
+            _flash_enabled()
             and (not train or self.dropout == 0.0)
-            and jax.default_backend() == "tpu"
             and (self.d_model // self.num_heads) % 8 == 0
         )
         if use_flash:

@@ -68,3 +68,49 @@ def test_flash_gated_off_by_default(qkv):
     variables = m.init({"params": jax.random.PRNGKey(0)}, q, k, v, pad)
     out = m.apply(variables, q, k, v, pad)
     assert out.shape == q.shape
+
+
+def test_flash_cmdm_integration(monkeypatch):
+    """CMDM denoiser forward with the flash path forced (kernel substituted
+    by mha_reference on CPU) must match the einsum path within bf16-matmul
+    tolerance — validates mask plumbing (x_mask + CFG flags) through the
+    segment-id construction at the model level."""
+    from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+    from afford_motion_tpu.models.cmdm import CMDM
+    from afford_motion_tpu.models.scene_map import (
+        SCENEMAP_NSAMPLES, SCENEMAP_STRIDES,
+    )
+    from afford_motion_tpu.ops import build_point_hierarchy
+
+    rng = np.random.default_rng(5)
+    B, N, Lm = 2, 256, 12
+    model = CMDM(
+        motion_dim=66, latent_dim=64, time_emb_dim=64, text_feat_dim=32,
+        contact_dim=6, planes=(8, 16, 32, 64), blocks=(2, 2, 2, 2),
+        arch="trans_enc", num_layers=(1, 1), num_heads=4, dim_feedforward=64,
+    )
+    xyz = jnp.asarray(rng.normal(size=(B, N, 3)).astype(np.float32))
+    x = jnp.asarray(rng.normal(size=(B, Lm, 66)).astype(np.float32))
+    x_mask = np.zeros((B, Lm), dtype=bool)
+    x_mask[0, 9:] = True
+    cond = {
+        "text_emb": jnp.asarray(rng.normal(size=(B, 1, 32)).astype(np.float32)),
+        "c_pc_xyz": xyz,
+        "c_pc_contact": jnp.asarray(rng.random(size=(B, N, 6)).astype(np.float32)),
+        "levels_sm": build_point_hierarchy(xyz, SCENEMAP_STRIDES, SCENEMAP_NSAMPLES),
+        "x_mask": jnp.asarray(x_mask),
+        "c_text_mask": jnp.asarray(np.array([[True], [False]])),  # CFG drop
+    }
+    t = jnp.asarray(np.array([3, 7], dtype=np.int32))
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, t, cond,
+                           train=False)
+    ref = np.asarray(model.apply(variables, x, t, cond, train=False))
+
+    monkeypatch.setattr(fa, "flash_attention", _reference_kernel)
+    monkeypatch.setattr(L, "_flash_enabled", lambda: True)
+    got = np.asarray(model.apply(variables, x, t, cond, train=False))
+    valid = ~x_mask
+    err = float(np.linalg.norm(got[valid] - ref[valid])
+                / (np.linalg.norm(ref[valid]) + 1e-12))
+    assert err < 5e-2, f"flash-path CMDM rel err {err}"
