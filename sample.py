@@ -73,7 +73,11 @@ def sample(cfg: DictConfig) -> None:
     logger.info(f"Load checkpoint from {ckpt}")
 
     visualizer = create_visualizer(cfg.task)
-    sample_fn = make_sample_fn(model, diffusion, clip_denoised=False)
+    sample_fn = make_sample_fn(
+        model, diffusion, clip_denoised=False,
+        sampler=str(cfg.task.sample.get("sampler", "ddpm")),
+        eta=float(cfg.task.sample.get("ddim_eta", 0.0)),
+    )
     rng = jax.random.PRNGKey(cfg.seed)
 
     for i, data in enumerate(dataloader):

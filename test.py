@@ -91,7 +91,14 @@ def test(cfg: DictConfig) -> None:
     logger.info(f"Load checkpoint from {ckpt}")
 
     evaluator = create_evaluator(cfg.task)
-    sample_fn = make_sample_fn(model, diffusion, clip_denoised=False)
+    # reference test.py always runs the DDPM chain (test.py:94-101);
+    # task.test.sampler=ddim (+ddim_eta) opts into the DDIM loop — combine
+    # with diffusion.timestep_respacing=ddimN for few-step sampling
+    sample_fn = make_sample_fn(
+        model, diffusion, clip_denoised=False,
+        sampler=str(cfg.task.test.get("sampler", "ddpm")),
+        eta=float(cfg.task.test.get("ddim_eta", 0.0)),
+    )
     rng = jax.random.PRNGKey(cfg.seed)
 
     B = cfg.task.test.batch_size
