@@ -302,11 +302,13 @@ class GaussianDiffusion:
         clip_denoised: bool = True,
         denoised_fn: Optional[Callable] = None,
         cond_fn: Optional[Callable] = None,
+        noise: Optional[jnp.ndarray] = None,
     ) -> Dict[str, jnp.ndarray]:
         out = self.p_mean_variance(
             model_fn, x, t, clip_denoised=clip_denoised, denoised_fn=denoised_fn
         )
-        noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
+        if noise is None:
+            noise = jax.random.normal(rng, x.shape, dtype=x.dtype)
         nonzero_mask = (t != 0).astype(x.dtype).reshape(-1, *([1] * (x.ndim - 1)))
         mean = out["mean"]
         if cond_fn is not None:
@@ -326,24 +328,45 @@ class GaussianDiffusion:
         denoised_fn: Optional[Callable] = None,
         cond_fn: Optional[Callable] = None,
         dtype=jnp.float32,
+        noise_seq: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
         """Full ancestral DDPM chain as one ``lax.scan`` — compiles once and
         runs without host round-trips (replaces the reference's Python loop,
-        gaussian_diffusion.py:488-536)."""
+        gaussian_diffusion.py:442-536).
+
+        ``noise_seq`` (T, *shape): externally supplied per-step noise in
+        scan order t = T-1..0, replacing the internal RNG draws — the
+        parity-testing hook that lets the reference torch pipeline and this
+        one consume an IDENTICAL noise stream (tools/ref_e2e_ab.py). The
+        reference draws ``th.randn_like(x)`` once per step
+        (gaussian_diffusion.py:396-440), so matched streams give matched
+        trajectories up to forward-parity error."""
         init_rng, loop_rng = jax.random.split(rng)
         x = noise if noise is not None else jax.random.normal(init_rng, tuple(shape), dtype=dtype)
 
-        def body(carry, idx):
+        def body(carry, scan_in):
+            idx, step_noise = scan_in
             step_rng = jax.random.fold_in(loop_rng, idx)
             t = jnp.full((shape[0],), idx, dtype=jnp.int32)
             out = self.p_sample(
                 model_fn, carry, t, step_rng,
                 clip_denoised=clip_denoised, denoised_fn=denoised_fn, cond_fn=cond_fn,
+                noise=step_noise,
             )
             return out["sample"], None
 
         timesteps = jnp.arange(self.num_timesteps - 1, -1, -1, dtype=jnp.int32)
-        x, _ = lax.scan(body, x, timesteps, unroll=_scan_unroll())
+        if noise_seq is None:
+            # scan carries only the timestep; p_sample draws its own noise
+            def body_rng(carry, idx):
+                return body(carry, (idx, None))
+
+            x, _ = lax.scan(body_rng, x, timesteps, unroll=_scan_unroll())
+        else:
+            x, _ = lax.scan(
+                body, x, (timesteps, noise_seq.astype(dtype)),
+                unroll=_scan_unroll(),
+            )
         return x
 
     def ddim_sample(

@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 
@@ -70,8 +71,11 @@ def knn(
     method = method or KNN_METHOD
     m = query.shape[0]
     n = support.shape[0]
-    # If the support set is smaller than k (tiny top hierarchy levels in
-    # tests), clamp and pad by repeating the farthest neighbour.
+    # If the support set is smaller than k (tiny top hierarchy levels —
+    # never the 8192-pt production shapes), clamp and pad with the CUDA
+    # kernel's heap-init semantics: tail slots keep the segment-start index
+    # (row 0 in dense layout) at distance 1e10 (reference pointops.py:30-45,
+    # knnquery_cuda heap init) so 3-NN interpolation weights the pads ~0.
     k_eff = min(k, n)
     chunk = min(chunk, m)
     if m % chunk != 0:  # fall back to one shot for odd sizes
@@ -100,8 +104,13 @@ def knn(
         dist = jnp.sqrt(dk)
         if k_eff < k:
             reps = k - k_eff
-            idx = jnp.concatenate([idx, jnp.repeat(idx[:, -1:], reps, axis=1)], axis=1)
-            dist = jnp.concatenate([dist, jnp.repeat(dist[:, -1:], reps, axis=1)], axis=1)
+            idx = jnp.concatenate(
+                [idx, jnp.zeros((idx.shape[0], reps), dtype=idx.dtype)], axis=1
+            )
+            dist = jnp.concatenate(
+                [dist, jnp.full((dist.shape[0], reps), np.sqrt(1e10),
+                                dtype=dist.dtype)], axis=1
+            )
         return idx, dist
 
     if chunk == m:

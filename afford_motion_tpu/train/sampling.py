@@ -9,8 +9,22 @@ from typing import Any, Dict, Tuple
 import jax
 
 
+import numpy as np
+
 from ..diffusion import GaussianDiffusion
 from ..models.conditioning import add_hierarchies, encode_conditions
+
+
+def parity_noise(seed: int, chain_idx: int, shape, num_steps: int):
+    """Deterministic shared noise stream for reference-parity A/B runs
+    (tools/ref_e2e_ab.py): both the torch reference pipeline and our
+    sampler consume EXACTLY these arrays — init x_T plus one per-step draw
+    in chain order t = T-1..0 (reference gaussian_diffusion.py:488-536
+    draws th.randn_like once per step)."""
+    rng = np.random.default_rng([int(seed), int(chain_idx)])
+    init = rng.standard_normal(tuple(shape)).astype(np.float32)
+    seq = rng.standard_normal((int(num_steps),) + tuple(shape)).astype(np.float32)
+    return init, seq
 
 
 def make_sample_fn(
@@ -29,7 +43,8 @@ def make_sample_fn(
 
     denoise_method = type(model).denoise
 
-    def sample(variables, shape: Tuple[int, ...], cond: Dict[str, Any], rng):
+    def sample(variables, shape: Tuple[int, ...], cond: Dict[str, Any], rng,
+               noise=None, noise_seq=None):
         cond_h = add_hierarchies(model, cond)
         enc = encode_conditions(model, variables, cond_h, train=False)
 
@@ -40,10 +55,12 @@ def make_sample_fn(
 
         if sampler == "ddim":
             return diffusion.ddim_sample_loop(
-                model_fn, shape, rng, clip_denoised=clip_denoised, eta=eta
+                model_fn, shape, rng, clip_denoised=clip_denoised, eta=eta,
+                noise=noise,
             )
         return diffusion.p_sample_loop(
-            model_fn, shape, rng, clip_denoised=clip_denoised
+            model_fn, shape, rng, clip_denoised=clip_denoised,
+            noise=noise, noise_seq=noise_seq,
         )
 
     return jax.jit(sample, static_argnums=(1,))

@@ -100,6 +100,12 @@ def test(cfg: DictConfig) -> None:
         eta=float(cfg.task.test.get("ddim_eta", 0.0)),
     )
     rng = jax.random.PRNGKey(cfg.seed)
+    # task.test.noise_inject_seed: reference-parity hook (tools/ref_e2e_ab.py)
+    # — every sampling chain consumes the deterministic shared noise stream
+    # instead of JAX RNG so trajectories can be compared against the torch
+    # reference pipeline step for step
+    noise_seed = cfg.task.test.get("noise_inject_seed", None)
+    chain_idx = 0
 
     B = cfg.task.test.batch_size
     is_cmdm = str(cfg.model.name).startswith("CMDM")
@@ -126,7 +132,19 @@ def test(cfg: DictConfig) -> None:
                 # (reference: test.py:89-92)
                 cond_k["c_pc_contact"] = cond_k["c_pc_contact"][:, k]
             rng, sub = jax.random.split(rng)
-            sample = np.asarray(sample_fn(variables, shape, cond_k, sub))
+            if noise_seed is not None:
+                from afford_motion_tpu.train.sampling import parity_noise
+
+                init_n, seq_n = parity_noise(
+                    noise_seed, chain_idx, shape, diffusion.num_timesteps
+                )
+                sample = np.asarray(sample_fn(
+                    variables, shape, cond_k, sub,
+                    jnp.asarray(init_n), jnp.asarray(seq_n),
+                ))
+            else:
+                sample = np.asarray(sample_fn(variables, shape, cond_k, sub))
+            chain_idx += 1
             per_k.append(sample)
 
         for bsi in range(shape[0]):

@@ -156,9 +156,73 @@ def _smplkit_stub() -> types.ModuleType:
 
     class SMPLXLayer:  # utils/misc.py instantiates this at import time
         def __init__(self, *a, **k):
-            pass
+            self.faces = np.zeros((1, 3), dtype=np.int64)
+
+        # Text2MotionInSceneEvaluator.__init__ moves the frozen body model
+        # to the device (utils/evaluate.py:256); APD-only evaluation never
+        # calls the layer itself
+        def to(self, device):
+            return self
+
+        def eval(self):
+            return self
 
     mod.SMPLXLayer = SMPLXLayer
+    return mod
+
+
+def _loguru_stub() -> types.ModuleType:
+    import logging
+
+    mod = types.ModuleType("loguru")
+
+    class _Logger:
+        def __init__(self):
+            self._log = logging.getLogger("ref")
+
+        def info(self, msg, *a):
+            self._log.info(str(msg))
+
+        warning = debug = error = success = info
+
+        def add(self, *a, **k):
+            return 0
+
+        def remove(self, *a, **k):
+            pass
+
+    mod.logger = _Logger()
+    return mod
+
+
+def _natsort_stub() -> types.ModuleType:
+    import re
+
+    mod = types.ModuleType("natsort")
+
+    def _key(s):
+        return [int(t) if t.isdigit() else t
+                for t in re.split(r"(\d+)", str(s))]
+
+    mod.natsorted = lambda seq, key=None: sorted(
+        seq, key=(lambda v: _key(key(v))) if key else _key
+    )
+    return mod
+
+
+def _trimesh_stub() -> types.ModuleType:
+    """datasets/transforms.py:3 imports ``from trimesh import
+    transform_points`` (homogeneous 4x4 application); the evaluators import
+    the module itself. Only transform_points is ever called on the
+    pipeline-parity path."""
+    mod = types.ModuleType("trimesh")
+
+    def transform_points(points, matrix):
+        pts = np.asarray(points, dtype=np.float64)
+        m = np.asarray(matrix, dtype=np.float64)
+        return pts @ m[:3, :3].T + m[:3, 3]
+
+    mod.transform_points = transform_points
     return mod
 
 
@@ -203,6 +267,49 @@ def load_reference() -> types.SimpleNamespace:
         cdm=ref_cdm, cmdm=ref_cmdm, modules=ref_modules, pointtransformer=ref_pt
     )
     return _ns
+
+
+_pipe: Optional[types.SimpleNamespace] = None
+
+
+def load_reference_pipeline() -> types.SimpleNamespace:
+    """Import the reference's FULL test-path stack (datasets, diffusion,
+    evaluators, model factory) on CPU so tools/ref_e2e_ab.py can run the
+    live reference pipeline (reference test.py:30-138) end-to-end in-box.
+    Adds loguru/natsort/trimesh stubs on top of load_reference()'s."""
+    global _pipe
+    if _pipe is not None:
+        return _pipe
+
+    ns = load_reference()
+    for name, maker in [("loguru", _loguru_stub), ("natsort", _natsort_stub),
+                        ("trimesh", _trimesh_stub)]:
+        if name not in sys.modules:
+            sys.modules[name] = maker()
+
+    sys.path.insert(0, REF_ROOT)
+    try:
+        import datasets.base as ref_dbase
+        import datasets.humanml3d as ref_h3d
+        import datasets.misc as ref_dmisc
+        import datasets.motionx as ref_motionx
+        import diffusion.gaussian_diffusion as ref_gd
+        import models.base as ref_mbase
+        import utils.evaluate as ref_evaluate
+    finally:
+        sys.path.remove(REF_ROOT)
+
+    _pipe = types.SimpleNamespace(
+        models=ns,
+        dbase=ref_dbase,
+        h3d=ref_h3d,
+        dmisc=ref_dmisc,
+        motionx=ref_motionx,
+        gd=ref_gd,
+        mbase=ref_mbase,
+        evaluate=ref_evaluate,
+    )
+    return _pipe
 
 
 # ----------------------------------------------------------------- helpers
