@@ -70,11 +70,12 @@ _W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 256
 # "window-locality study"). Starts become a (B, G) operand — a pure
 # function of fps_idx, recomputed identically wherever the geometry is
 # (re)built, so cached kNN indices and per-step gathers always agree.
-# Default OFF until the compiled (non-interpret) kernels are validated on
-# the real chip — adaptive alone changes accuracy, not speed (same S), so
-# the proven proportional path stays the driver-facing default; flip
-# together with the narrower-window default once the on-chip A/B lands.
-ADAPTIVE = (_os.environ.get("AM_BANDED_ADAPTIVE", "0") == "1")
+# Default ON since round 3: the compiled (B, G)-starts kernels + einsum
+# scatter fold validated on the real chip (flagship 11.73 vs 11.57
+# steps/s, spread <1%) and adaptive only ADDS in-window recall at the same
+# window size S. AM_BANDED_ADAPTIVE=0 restores the round-2 proportional
+# starts.
+ADAPTIVE = (_os.environ.get("AM_BANDED_ADAPTIVE", "1") != "0")
 
 
 def window_width(n_support: int) -> int:

@@ -108,6 +108,98 @@ class DeviceStore:
     def __init__(self, arrays: Dict[str, jnp.ndarray], meta: Dict[str, Any]):
         self.arrays = arrays
         self.meta = meta
+        # corpus sharding over the mesh data axis (shard_over_mesh):
+        # None = every device holds a full copy (single-device / off)
+        self._mesh = None
+        self._axis = None
+        self._sharded_keys: set = set()
+
+    # ---------------------------------------------------- mesh distribution
+    def shard_over_mesh(self, mesh, axis: str = "data",
+                        min_bytes: int = 1 << 20) -> None:
+        """Distribute the corpus rows over the mesh data axis.
+
+        Replaces per-device full replication with a row shard per device —
+        the TPU-native completion of the reference's per-rank
+        ``DistributedSampler`` data split (reference: train_ddp.py:50), but
+        at the STORAGE level: every device can still train on any sample
+        because ``fetch`` moves the requested rows over ICI each step
+        (~B rows, negligible next to the step compute). Corpus capacity
+        becomes the AGGREGATE mesh HBM instead of one device's budget.
+
+        Small per-item index arrays (< 1MB, e.g. ``scene_row``) stay
+        replicated. Row counts are zero-padded to a multiple of the mesh
+        size; the pad rows are never addressed (indices come from the real
+        item/scene tables)."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        out = {}
+        for k, v in self.arrays.items():
+            if n_dev > 1 and v.ndim >= 1 and v.nbytes > min_bytes:
+                pad = (-v.shape[0]) % n_dev
+                if pad:
+                    v = jnp.concatenate(
+                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                    )
+                out[k] = jax.device_put(v, NamedSharding(mesh, P(axis)))
+                self._sharded_keys.add(k)
+            else:
+                out[k] = jax.device_put(v, NamedSharding(mesh, P()))
+        self.arrays = out
+        if self._sharded_keys:
+            self._mesh, self._axis = mesh, axis
+            total = sum(v.nbytes for v in self.arrays.values())
+            logger.info(
+                f"device store: corpus sharded over {n_dev} devices "
+                f"({total / 1e9:.2f}GB total, {total / n_dev / 1e9:.2f}GB/device, "
+                f"{len(self._sharded_keys)} sharded arrays)"
+            )
+        jax.block_until_ready(list(self.arrays.values()))
+
+    def fetch(self, key: str, rows: jnp.ndarray) -> jnp.ndarray:
+        """Row-gather ``arrays[key][rows]`` that works for both layouts.
+
+        Replicated: a plain ``jnp.take``. Sharded: a ``shard_map`` gather —
+        each device looks up the rows it OWNS for the full index list and a
+        ``psum_scatter`` over the batch axis hands every device exactly its
+        batch shard (one owner per row, so the sum moves data without
+        mixing it — bit-identical to the replicated path)."""
+        A = self.arrays[key]
+        if self._mesh is None or key not in self._sharded_keys:
+            return jnp.take(A, rows, axis=0)
+
+        from jax.experimental.shard_map import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axis = self._mesh, self._axis
+        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_local = A.shape[0] // n_dev
+        # 16-bit payloads ride the collective at 32-bit (psum support);
+        # values pass through a single owner so the round-trip is exact
+        calc = {jnp.float16: jnp.float32, jnp.bfloat16: jnp.float32,
+                jnp.int16: jnp.int32}.get(A.dtype.type)
+
+        def body(local_arr, idx_all):
+            rank = jax.lax.axis_index(axis)
+            li = idx_all.astype(jnp.int32) - rank * n_local
+            owned = (li >= 0) & (li < n_local)
+            rows_l = jnp.take(local_arr, jnp.clip(li, 0, n_local - 1), axis=0)
+            if calc is not None:
+                rows_l = rows_l.astype(calc)
+            contrib = jnp.where(
+                owned.reshape((-1,) + (1,) * (rows_l.ndim - 1)),
+                rows_l, jnp.zeros((), rows_l.dtype),
+            )
+            out = jax.lax.psum_scatter(
+                contrib, axis, scatter_dimension=0, tiled=True
+            )
+            return out.astype(local_arr.dtype) if calc is not None else out
+
+        return shard_map(
+            body, mesh=mesh,
+            in_specs=(P(axis), P()), out_specs=P(axis),
+        )(A, rows)
 
     # -------------------------------------------------------------- build
     @classmethod
@@ -614,13 +706,13 @@ def make_assemble_fn(store: DeviceStore):
         src = crop_start[:, None] + t_idx[None]       # (B, H)
         valid = t_idx[None] < crop_len[:, None]       # (B, H)
         L_max = A["motion16"].shape[1]
-        motions = jnp.take(A["motion16"], rows, axis=0)
+        motions = store.fetch("motion16", rows)
         x = jnp.take_along_axis(
             motions, jnp.clip(src, 0, L_max - 1)[..., None], axis=1
         )
         x = jnp.where(valid[..., None], x, jnp.float16(0))
 
-        contact = jnp.take(A["dist16"], s_rows, axis=0).astype(jnp.float32)
+        contact = store.fetch("dist16", s_rows).astype(jnp.float32)
         if "mix_contact" in batch:
             contact = jnp.where(
                 batch["mix_mask"][:, None, None],
@@ -632,15 +724,15 @@ def make_assemble_fn(store: DeviceStore):
         cond = {
             "x_mask": ~valid,
             "text_emb": batch["text_emb"],
-            "c_pc_xyz": jnp.take(A["xyz16"], s_rows, axis=0),
+            "c_pc_xyz": store.fetch("xyz16", s_rows),
             "c_pc_contact": contact.astype(jnp.float16),
         }
         for k in ("c_text_mask", "c_text_erase", "c_pc_mask", "c_pc_erase"):
             if k in batch:                      # CFG flags, (B, 1) bool
                 cond[k] = batch[k]
-        for k, v in A.items():
+        for k in A:
             if k.startswith("geo_"):  # fps wire + cached hierarchy fields
-                cond[k] = jnp.take(v, s_rows, axis=0)
+                cond[k] = store.fetch(k, s_rows)
         return x, cond
 
     return assemble
@@ -662,7 +754,7 @@ def _make_assemble_motionx(store: DeviceStore):
         L_max, D = A["motion32"].shape[1:]
         lengths = jnp.take(A["length"], rows)                  # (B,)
 
-        motion = jnp.take(A["motion32"], rows, axis=0)
+        motion = store.fetch("motion32", rows)
         if L_max < H:
             motion = jnp.pad(motion, ((0, 0), (0, H - L_max), (0, 0)))
         else:
@@ -670,7 +762,7 @@ def _make_assemble_motionx(store: DeviceStore):
         t_idx = jnp.arange(H, dtype=jnp.int32)
         valid = t_idx[None] < lengths[:, None]                 # (B, H)
 
-        xyz = jnp.take(A["xyz16"], rows, axis=0).astype(jnp.float32)
+        xyz = store.fetch("xyz16", rows).astype(jnp.float32)
         if "aug_angle" in batch:
             ang = batch["aug_angle"].astype(jnp.float32)       # (B,)
 
@@ -690,7 +782,7 @@ def _make_assemble_motionx(store: DeviceStore):
         # after transform; the loss masks them via x_mask)
         x = ((motion - mean[None]) / std[None]).astype(jnp.float16)
 
-        contact = jnp.take(A["dist16"], rows, axis=0).astype(jnp.float32)
+        contact = store.fetch("dist16", rows).astype(jnp.float32)
         if "mix_contact" in batch:
             contact = jnp.where(
                 batch["mix_mask"][:, None, None],
@@ -705,9 +797,9 @@ def _make_assemble_motionx(store: DeviceStore):
             "c_pc_xyz": xyz.astype(jnp.float16),
             "c_pc_contact": contact.astype(jnp.float16),
         }
-        for k, v in A.items():
+        for k in A:
             if k.startswith("geo_"):  # fps wire + cached hierarchy fields
-                cond[k] = jnp.take(v, rows, axis=0)
+                cond[k] = store.fetch(k, rows)
         return x, cond
 
     return assemble
@@ -856,12 +948,12 @@ def _make_assemble_contact(store: DeviceStore):
     def assemble(batch: Dict[str, jnp.ndarray]):
         rows = batch["item_row"]
         s_rows = jnp.take(A["scene_row"], rows) if h3d else rows
-        contact = jnp.take(A["dist32"], s_rows, axis=0)
+        contact = store.fetch("dist32", s_rows)
         if not use_raw:
             contact = jnp.exp(-0.5 * contact ** 2 / sigma ** 2)
         x = (contact - mean) / std
 
-        xyz = jnp.take(A["xyz16"], s_rows, axis=0).astype(jnp.float32)
+        xyz = store.fetch("xyz16", s_rows).astype(jnp.float32)
         if "aug_angle" in batch:
             ang = batch["aug_angle"].astype(jnp.float32)
             c = jnp.cos(ang)[:, None]
@@ -874,14 +966,14 @@ def _make_assemble_contact(store: DeviceStore):
         }
         if not h3d:
             if use_color:
-                feat = (jnp.take(A["rgb16"], s_rows, axis=0).astype(jnp.float32)
+                feat = (store.fetch("rgb16", s_rows).astype(jnp.float32)
                         + 1.0) / 2.0
             else:
                 feat = jnp.zeros(xyz.shape[:-1] + (0,), dtype=jnp.float32)
             cond["c_pc_feat"] = feat.astype(jnp.float16)
-        for k, v in A.items():
+        for k in A:
             if k.startswith("geo_"):  # fps wire + cached hierarchy fields
-                cond[k] = jnp.take(v, s_rows, axis=0)
+                cond[k] = store.fetch(k, s_rows)
         return x.astype(jnp.float32), cond
 
     return assemble

@@ -197,18 +197,31 @@ class TrainLoop:
         self._dstore = None
         self._assemble = None
         if str(tcfg.get("device_store", "auto")) != "off":
-            from .device_store import DeviceStore, make_assemble_fn
+            from .device_store import MAX_BYTES, DeviceStore, make_assemble_fn
 
-            store = DeviceStore.try_build(self.dataloader.dataset)
+            n_dev = len(self.mesh.devices.ravel())
+            # task.train.device_store_shard: 'auto' (shard the corpus rows
+            # over the mesh whenever it has >1 device — fetch moves ~B rows
+            # over ICI per step, bit-identical to replication) or 'off'
+            # (every device holds a full copy, the round-2 behavior). With
+            # sharding the HBM budget is the AGGREGATE mesh budget —
+            # AM_DEVICE_STORE_MAX_GB becomes per-mesh, replacing the
+            # reference's per-rank DistributedSampler split
+            # (train_ddp.py:50) at the storage level.
+            shard_mode = str(tcfg.get("device_store_shard", "auto"))
+            do_shard = shard_mode != "off" and n_dev > 1
+            budget = MAX_BYTES * (n_dev if do_shard else 1)
+            store = DeviceStore.try_build(self.dataloader.dataset,
+                                          max_bytes=budget)
             if store is not None:
                 # precompute the full per-scene hierarchy once (same
                 # kernels the in-step rebuild would use — numerics
                 # unchanged, ~14% of the step saved; device_store.py)
-                store.add_geometry_cache(self.model)
-                # every device holds a full copy (the budget check already
-                # ensured a copy fits one device's HBM); batch-index
-                # operands stay sharded on the data axis
-                store.arrays = replicate(store.arrays, self.mesh)
+                store.add_geometry_cache(self.model, max_bytes=budget)
+                if do_shard:
+                    store.shard_over_mesh(self.mesh)
+                else:
+                    store.arrays = replicate(store.arrays, self.mesh)
                 self._dstore = store
                 self._assemble = make_assemble_fn(store)
 

@@ -115,6 +115,21 @@ def test(cfg: DictConfig) -> None:
     )
     logger.info(f"k_samples_idxs: {k_samples_idxs}")
 
+    # batch-shard the sampling chain over the device mesh (GSPMD data
+    # parallelism for the test path too — the reference test loop is
+    # single-GPU, test.py:28; on a TPU slice the 500/1000-forward chain
+    # splits over ICI with replicated params)
+    from afford_motion_tpu.parallel.mesh import (
+        create_mesh_for_batch, replicate, shard_batch,
+    )
+
+    sample_mesh = create_mesh_for_batch(B)
+    if len(sample_mesh.devices.ravel()) > 1:
+        variables = replicate(variables, sample_mesh)
+        logger.info(
+            f"sampling over {len(sample_mesh.devices.ravel())}-device mesh"
+        )
+
     for i, data in enumerate(test_dataloader):
         use_k_sample = i in k_samples_idxs
         repeat_times = evaluator.k_samples if use_k_sample else 1
@@ -122,6 +137,8 @@ def test(cfg: DictConfig) -> None:
 
         x, cond = host_prepare_cond(data, text_encoder)
         cond = {k: jnp.asarray(v) for k, v in cond.items()}
+        if len(sample_mesh.devices.ravel()) > 1:
+            cond = shard_batch(cond, sample_mesh)
         shape = tuple(x.shape)
 
         per_k = []

@@ -511,3 +511,86 @@ def test_motionx_stage1_store_matches_host(mx_store_env):
             np.asarray(cond["c_pc_feat"], np.float32),
             cond_ref["c_pc_feat"].astype(np.float32), atol=2e-3,
         )
+
+
+def test_sharded_store_bitmatches_replicated(store_env):
+    """Corpus rows sharded over the 8-device mesh (shard_over_mesh +
+    the psum_scatter fetch) must assemble bit-identical batches to the
+    replicated store — the storage-level replacement for the reference's
+    per-rank DistributedSampler split (reference: train_ddp.py:50)."""
+    import jax
+
+    from afford_motion_tpu.parallel.mesh import create_mesh, shard_batch
+
+    ds, store = store_env
+    te = _HashText()
+    assert jax.device_count() >= 8
+
+    random.seed(31); np.random.seed(31)
+    ids = [0, 1, 2, 3, 0, 1, 2, 3]          # B=8 over the 8-device mesh
+    meta = store.draw_batch(ds, ids)
+    texts = meta.pop("c_text")
+    meta["text_emb"] = te.encode(texts)[:, None, :].astype(np.float16)
+    batch = {"item_row": jnp.asarray(meta.pop("item_row")),
+             **{k: jnp.asarray(v) for k, v in meta.items()}}
+
+    assemble = make_assemble_fn(store)
+    x_ref, cond_ref = jax.jit(assemble)(batch)
+
+    # fresh store view sharded over the mesh (min_bytes=0: the synthetic
+    # arrays are tiny; production keeps small index arrays replicated)
+    sharded = DeviceStore(dict(store.arrays), dict(store.meta))
+    mesh = create_mesh(jax.devices())
+    sharded.shard_over_mesh(mesh, min_bytes=0)
+    assert sharded._sharded_keys, "nothing sharded"
+    assemble_s = make_assemble_fn(sharded)
+    batch_s = shard_batch(batch, mesh)
+    x_s, cond_s = jax.jit(assemble_s)(batch_s)
+
+    np.testing.assert_array_equal(np.asarray(x_s), np.asarray(x_ref))
+    assert set(cond_s) == set(cond_ref)
+    for k in cond_ref:
+        np.testing.assert_array_equal(
+            np.asarray(cond_s[k]), np.asarray(cond_ref[k]), err_msg=k
+        )
+
+
+def test_sharded_store_train_step(store_env):
+    """One jitted train step from the sharded store over the mesh."""
+    import jax
+
+    from afford_motion_tpu.models.cmdm import CMDM
+    from afford_motion_tpu.parallel.mesh import create_mesh, replicate, shard_batch
+    from afford_motion_tpu.train import make_train_step
+    from tests.test_train import init_state, tiny_diffusion
+
+    ds, store = store_env
+    te = _HashText()
+    sharded = DeviceStore(dict(store.arrays), dict(store.meta))
+    mesh = create_mesh(jax.devices())
+    sharded.shard_over_mesh(mesh, min_bytes=0)
+    assemble = make_assemble_fn(sharded)
+
+    random.seed(7); np.random.seed(7)
+    ids = [0, 1, 2, 3, 0, 1, 2, 3]
+    meta = sharded.draw_batch(ds, ids)
+    texts = meta.pop("c_text")
+    meta["text_emb"] = te.encode(texts)[:, None, :].astype(np.float16)
+    batch = {"item_row": jnp.asarray(meta.pop("item_row")),
+             **{k: jnp.asarray(v) for k, v in meta.items()}}
+    batch = shard_batch(batch, mesh)
+
+    x0, cond0 = jax.jit(assemble)(batch)
+    model = CMDM(
+        motion_dim=x0.shape[-1], latent_dim=32, time_emb_dim=32, text_feat_dim=16,
+        contact_dim=cond0["c_pc_contact"].shape[-1], planes=(8, 16, 32, 64),
+        blocks=(2, 2, 2, 2), arch="trans_enc", num_layers=(1, 1), num_heads=4,
+        dim_feedforward=32,
+    )
+    state = replicate(init_state(model, x0.astype(jnp.float32), cond0), mesh)
+    step = make_train_step(model, tiny_diffusion(), assemble=assemble)
+    item_row = batch["item_row"]
+    cond_small = {k: v for k, v in batch.items() if k != "item_row"}
+    new_state, m = step(state, item_row, cond_small, np.uint32(3))
+    assert int(jax.device_get(new_state.step)) == 1
+    assert np.isfinite(float(jax.device_get(m["loss"])))
