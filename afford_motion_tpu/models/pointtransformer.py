@@ -243,22 +243,10 @@ class PointEncoderStage(nn.Module):
         x = TransitionDown(self.planes, self.stride, self.norm, dtype=self.dtype)(
             parent_xyz, x, geom, train=train
         )
-        import os
-
-        if os.environ.get("AM_REMAT_PT", "0") == "1":
-            # rematerialize the attention blocks: their (B, N, K, C)
-            # intermediates are recomputed in the backward pass instead of
-            # being stored to / reloaded from HBM. ``train`` rides in as a
-            # static module attribute (call args would be traced).
-            block_cls = nn.remat(PointTransformerBlock)
-            for j in range(1, self.blocks):
-                x = block_cls(self.planes, self.share_planes, self.norm,
-                              dtype=self.dtype, static_train=train,
-                              banded=geom.banded,
-                              name=f"PointTransformerBlock_{j - 1}")(
-                    geom.xyz, x, geom.knn_idx
-                )
-            return x
+        # NOTE: block-level remat (jax.checkpoint of the attention blocks)
+        # was measured and REJECTED on chip — 8.48 vs 9.74 steps/s, the
+        # recompute cost exceeds the HBM savings at these activation sizes
+        # (docs/PERF.md negative-results ledger; former AM_REMAT_PT flag).
         for _ in range(1, self.blocks):
             x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
                                       dtype=self.dtype, banded=geom.banded)(

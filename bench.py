@@ -524,6 +524,20 @@ def _probe_backend(timeout_s: int = 180) -> None:
 def main() -> None:
     _probe_backend()
     baselines = _baselines()
+    # BENCH_ONLY=sampler,ddim runs just the named benches (flagship, cdm,
+    # sampler, sampler_cdm, ddim) — e.g. sampler batch-scaling studies
+    only = [s for s in os.environ.get("BENCH_ONLY", "").split(",") if s]
+    table = {
+        "flagship": bench_flagship,
+        "cdm": bench_cdm,
+        "sampler": bench_sampler,
+        "sampler_cdm": bench_sampler_cdm,
+        "ddim": bench_sampler_ddim,
+    }
+    if only:
+        for name in only:
+            table[name](baselines)
+        return
     bench_flagship(baselines)
     if FULL:
         bench_cdm(baselines)

@@ -12,7 +12,7 @@ the driver benchmark:
 
 Each stage is its own jit; stage deltas give the marginal cost (e.g.
 step - grad = optimizer, grad - fwd ~= backward). BENCH_* env vars from
-bench.py apply (BENCH_BANDED=0, BENCH_DTYPE=float32, AM_REMAT_PT=1 ...).
+bench.py apply (BENCH_BANDED=0, BENCH_DTYPE=float32, ...).
 """
 from __future__ import annotations
 
@@ -139,6 +139,5 @@ if __name__ == "__main__":
                       "steps_per_sec": round(1.0 / results["step"], 2),
                       "config": {"B": B, "N": N, "dtype": bench.DTYPE,
                                  "banded": bench.BANDED,
-                                 "geo_cache": bench.GEO_CACHE,
-                                 "remat": os.environ.get("AM_REMAT_PT", "0")}},
+                                 "geo_cache": bench.GEO_CACHE}},
                      indent=1))
