@@ -473,3 +473,299 @@ def assert_tree_compatible(converted: Any, reference: Any, path: str = "") -> No
                 f"shape mismatch at {jax.tree_util.keystr(keypath)}: "
                 f"{np.shape(c)} vs {np.shape(leaf)}"
             )
+
+
+# ===================================================================== export
+# Reverse direction: flax variables -> reference-layout torch state_dict,
+# so models TRAINED HERE can be loaded by the reference's own load_ckpt
+# (reference: utils/training.py:342-383) and evaluated in its environment
+# (e.g. the offline MDM-protocol GPU eval). Exact inverses of the convert_*
+# maps above; round-trip tested in tests/test_torch_convert.py.
+
+def _np(x) -> np.ndarray:
+    return np.asarray(x, dtype=np.float32)
+
+
+def _inv_dense(out: Dict, prefix: str, tree: Dict) -> None:
+    out[f"{prefix}.weight"] = _np(tree["kernel"]).T
+    if "bias" in tree:
+        out[f"{prefix}.bias"] = _np(tree["bias"])
+
+
+def _inv_layernorm(out: Dict, prefix: str, tree: Dict) -> None:
+    out[f"{prefix}.weight"] = _np(tree["scale"])
+    out[f"{prefix}.bias"] = _np(tree["bias"])
+
+
+def _inv_bn(out: Dict, prefix: str, params: Dict, stats: Dict) -> None:
+    bn_p, bn_s = params["BatchNorm_0"], stats["BatchNorm_0"]
+    out[f"{prefix}.weight"] = _np(bn_p["scale"])
+    out[f"{prefix}.bias"] = _np(bn_p["bias"])
+    out[f"{prefix}.running_mean"] = _np(bn_s["mean"])
+    out[f"{prefix}.running_var"] = _np(bn_s["var"])
+    out[f"{prefix}.num_batches_tracked"] = np.asarray(0, dtype=np.int64)
+
+
+def _inv_torch_mha(out: Dict, p: str, tree: Dict, fused: bool = False,
+                   fused_kv: bool = False) -> None:
+    if fused:
+        out[f"{p}.in_proj_weight"] = _np(tree["Dense_0"]["kernel"]).T
+        out[f"{p}.in_proj_bias"] = _np(tree["Dense_0"]["bias"])
+        _inv_dense(out, f"{p}.out_proj", tree["Dense_1"])
+        return
+    if fused_kv:
+        out[f"{p}.in_proj_weight"] = np.concatenate(
+            [_np(tree["Dense_0"]["kernel"]).T, _np(tree["Dense_1"]["kernel"]).T]
+        )
+        out[f"{p}.in_proj_bias"] = np.concatenate(
+            [_np(tree["Dense_0"]["bias"]), _np(tree["Dense_1"]["bias"])]
+        )
+        _inv_dense(out, f"{p}.out_proj", tree["Dense_2"])
+        return
+    out[f"{p}.in_proj_weight"] = np.concatenate(
+        [_np(tree[f"Dense_{i}"]["kernel"]).T for i in range(3)]
+    )
+    out[f"{p}.in_proj_bias"] = np.concatenate(
+        [_np(tree[f"Dense_{i}"]["bias"]) for i in range(3)]
+    )
+    _inv_dense(out, f"{p}.out_proj", tree["Dense_3"])
+
+
+def _inv_encoder_layer(out: Dict, p: str, tree: Dict,
+                       fused_qkv: bool = False) -> None:
+    _inv_torch_mha(out, f"{p}.self_attn", tree["TorchMultiHeadAttention_0"],
+                   fused=fused_qkv)
+    _inv_layernorm(out, f"{p}.norm1", tree["LayerNorm_0"])
+    _inv_dense(out, f"{p}.linear1", tree["Dense_0"])
+    _inv_dense(out, f"{p}.linear2", tree["Dense_1"])
+    _inv_layernorm(out, f"{p}.norm2", tree["LayerNorm_1"])
+
+
+def _inv_encoder(out: Dict, p: str, tree: Dict, num_layers: int,
+                 fused_qkv: bool = False) -> None:
+    for i in range(num_layers):
+        _inv_encoder_layer(out, f"{p}.layers.{i}",
+                           tree[f"TransformerEncoderLayer_{i}"], fused_qkv)
+
+
+def _inv_decoder_layer(out: Dict, p: str, tree: Dict,
+                       fused_qkv: bool = False) -> None:
+    _inv_torch_mha(out, f"{p}.self_attn", tree["TorchMultiHeadAttention_0"],
+                   fused=fused_qkv)
+    _inv_layernorm(out, f"{p}.norm1", tree["LayerNorm_0"])
+    _inv_torch_mha(out, f"{p}.multihead_attn", tree["TorchMultiHeadAttention_1"],
+                   fused_kv=fused_qkv)
+    _inv_layernorm(out, f"{p}.norm2", tree["LayerNorm_1"])
+    _inv_dense(out, f"{p}.linear1", tree["Dense_0"])
+    _inv_dense(out, f"{p}.linear2", tree["Dense_1"])
+    _inv_layernorm(out, f"{p}.norm3", tree["LayerNorm_2"])
+
+
+def _inv_pt_layer(out: Dict, p: str, params: Dict, stats: Dict) -> None:
+    _inv_dense(out, f"{p}.linear_q", params["Dense_0"])
+    _inv_dense(out, f"{p}.linear_k", params["Dense_1"])
+    _inv_dense(out, f"{p}.linear_v", params["Dense_2"])
+    _inv_dense(out, f"{p}.linear_p.0", params["Dense_3"])
+    _inv_bn(out, f"{p}.linear_p.1", params["PointNorm_0"], stats["PointNorm_0"])
+    _inv_dense(out, f"{p}.linear_p.3", params["Dense_4"])
+    _inv_bn(out, f"{p}.linear_w.0", params["PointNorm_1"], stats["PointNorm_1"])
+    _inv_dense(out, f"{p}.linear_w.2", params["Dense_5"])
+    _inv_bn(out, f"{p}.linear_w.3", params["PointNorm_2"], stats["PointNorm_2"])
+    _inv_dense(out, f"{p}.linear_w.5", params["Dense_6"])
+
+
+def _inv_pt_block(out: Dict, p: str, params: Dict, stats: Dict) -> None:
+    _inv_dense(out, f"{p}.linear1", params["Dense_0"])
+    _inv_bn(out, f"{p}.bn1", params["PointNorm_0"], stats["PointNorm_0"])
+    _inv_pt_layer(out, f"{p}.transformer2", params["PointTransformerLayer_0"],
+                  stats["PointTransformerLayer_0"])
+    _inv_bn(out, f"{p}.bn2", params["PointNorm_1"], stats["PointNorm_1"])
+    _inv_dense(out, f"{p}.linear3", params["Dense_1"])
+    _inv_bn(out, f"{p}.bn3", params["PointNorm_2"], stats["PointNorm_2"])
+
+
+def _inv_transition_down(out: Dict, p: str, params: Dict, stats: Dict) -> None:
+    _inv_dense(out, f"{p}.linear", params["Dense_0"])
+    _inv_bn(out, f"{p}.bn", params["PointNorm_0"], stats["PointNorm_0"])
+
+
+def _inv_transition_up(out: Dict, p: str, params: Dict, stats: Dict,
+                       is_head: bool) -> None:
+    if is_head:
+        _inv_dense(out, f"{p}.linear2.0", params["Dense_0"])
+        _inv_dense(out, f"{p}.linear1.0", params["Dense_1"])
+        _inv_bn(out, f"{p}.linear1.1", params["PointNorm_0"], stats["PointNorm_0"])
+        return
+    _inv_dense(out, f"{p}.linear1.0", params["Dense_0"])
+    _inv_bn(out, f"{p}.linear1.1", params["PointNorm_0"], stats["PointNorm_0"])
+    _inv_dense(out, f"{p}.linear2.0", params["Dense_1"])
+    _inv_bn(out, f"{p}.linear2.1", params["PointNorm_1"], stats["PointNorm_1"])
+
+
+def _inv_point_encoder(out: Dict, params: Dict, stats: Dict,
+                       blocks: Sequence[int], torch_prefix: str = "") -> None:
+    for k, nblocks in enumerate(blocks, start=1):
+        sp = params[f"PointEncoderStage_{k-1}"]
+        ss = stats[f"PointEncoderStage_{k-1}"]
+        _inv_transition_down(out, f"{torch_prefix}enc{k}.0",
+                             sp["TransitionDown_0"], ss["TransitionDown_0"])
+        for j in range(1, nblocks):
+            _inv_pt_block(out, f"{torch_prefix}enc{k}.{j}",
+                          sp[f"PointTransformerBlock_{j-1}"],
+                          ss[f"PointTransformerBlock_{j-1}"])
+
+
+def _inv_point_decoder(out: Dict, params: Dict, stats: Dict, n_levels: int,
+                       torch_prefix: str = "") -> None:
+    for k in range(n_levels, 0, -1):
+        stage = n_levels - k
+        sp = params[f"PointDecoderStage_{stage}"]
+        ss = stats[f"PointDecoderStage_{stage}"]
+        _inv_transition_up(out, f"{torch_prefix}dec{k}.0",
+                           sp["TransitionUp_0"], ss["TransitionUp_0"],
+                           is_head=stage == 0)
+        _inv_pt_block(out, f"{torch_prefix}dec{k}.1",
+                      sp["PointTransformerBlock_0"], ss["PointTransformerBlock_0"])
+
+
+def _inv_timestep_embedder(out: Dict, tree: Dict) -> None:
+    _inv_dense(out, "timestep_embedder.time_embed.0", tree["Dense_0"])
+    _inv_dense(out, "timestep_embedder.time_embed.2", tree["Dense_1"])
+
+
+def export_cmdm_checkpoint(variables: Dict, *,
+                           num_layers: Sequence[int] = (1, 1, 1, 1, 1),
+                           blocks: Sequence[int] = (2, 2, 2, 2),
+                           arch: str = "trans_enc",
+                           fused_qkv: bool = False) -> Dict[str, np.ndarray]:
+    """flax CMDM variables -> reference CMDM state_dict (inverse of
+    convert_cmdm_checkpoint). Frozen CLIP/BERT weights are not included,
+    matching what the reference strips at save (training.py:92-106)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    _inv_timestep_embedder(out, params["timestep_embedder"])
+    _inv_dense(out, "language_adapter", params["language_adapter"])
+    _inv_dense(out, "motion_adapter", params["motion_adapter"])
+    _inv_dense(out, "motion_layer", params["motion_layer"])
+    sm_p = params["contact_encoder"]
+    sm_s = stats["contact_encoder"]
+    if arch == "trans_enc":
+        _inv_point_encoder(out, sm_p["enc"], sm_s["enc"], blocks,
+                           "contact_encoder.")
+        _inv_dense(out, "contact_adapter", params["contact_adapter"])
+        _inv_encoder(out, "self_attn_layer", params["self_attn_layer"],
+                     sum(num_layers), fused_qkv)
+    elif arch == "trans_dec":
+        _inv_point_encoder(out, sm_p["enc"], sm_s["enc"], blocks,
+                           "contact_encoder.")
+        _inv_point_decoder(out, sm_p["dec"], sm_s["dec"], len(blocks),
+                           "contact_encoder.")
+        for i, n in enumerate(num_layers):
+            _inv_encoder(out, f"self_attn_layers.{i}",
+                         params[f"self_attn_layers_{i}"], n, fused_qkv)
+        for i in range(len(num_layers) - 1):
+            kv = params[f"kv_mapping_layers_{i}"]
+            _inv_dense(out, f"kv_mappling_layers.{i}.0", kv["Dense_0"])
+            _inv_layernorm(out, f"kv_mappling_layers.{i}.1", kv["LayerNorm_0"])
+            _inv_decoder_layer(out, f"cross_attn_layers.{i}",
+                               params[f"cross_attn_layers_{i}"], fused_qkv)
+    else:
+        raise NotImplementedError(arch)
+    return out
+
+
+def _inv_perceiver_cross_layer(out: Dict, p: str, tree: Dict) -> None:
+    _inv_layernorm(out, f"{p}.0.module.q_norm", tree["LayerNorm_0"])
+    _inv_layernorm(out, f"{p}.0.module.kv_norm", tree["LayerNorm_1"])
+    mha = tree["PerceiverMHA_0"]
+    _inv_dense(out, f"{p}.0.module.attention.q_proj", mha["Dense_0"])
+    _inv_dense(out, f"{p}.0.module.attention.k_proj", mha["Dense_1"])
+    _inv_dense(out, f"{p}.0.module.attention.v_proj", mha["Dense_2"])
+    _inv_dense(out, f"{p}.0.module.attention.o_proj", mha["Dense_3"])
+    mlp = tree["PerceiverMLP_0"]
+    _inv_layernorm(out, f"{p}.1.module.0", mlp["LayerNorm_0"])
+    _inv_dense(out, f"{p}.1.module.1", mlp["Dense_0"])
+    _inv_dense(out, f"{p}.1.module.3", mlp["Dense_1"])
+
+
+def _inv_perceiver_self_layer(out: Dict, p: str, tree: Dict) -> None:
+    _inv_layernorm(out, f"{p}.0.module.norm", tree["LayerNorm_0"])
+    mha = tree["PerceiverMHA_0"]
+    _inv_dense(out, f"{p}.0.module.attention.q_proj", mha["Dense_0"])
+    _inv_dense(out, f"{p}.0.module.attention.k_proj", mha["Dense_1"])
+    _inv_dense(out, f"{p}.0.module.attention.v_proj", mha["Dense_2"])
+    _inv_dense(out, f"{p}.0.module.attention.o_proj", mha["Dense_3"])
+    mlp = tree["PerceiverMLP_0"]
+    _inv_layernorm(out, f"{p}.1.module.0", mlp["LayerNorm_0"])
+    _inv_dense(out, f"{p}.1.module.1", mlp["Dense_0"])
+    _inv_dense(out, f"{p}.1.module.3", mlp["Dense_1"])
+
+
+def export_cdm_checkpoint(variables: Dict, *, self_attn_layers: int = 2,
+                          arch: str = "Perceiver", mlp_layers: int = 2,
+                          pt_blocks: Sequence[int] = (2, 2, 2, 2)
+                          ) -> Dict[str, np.ndarray]:
+    """flax CDM variables (any of the 4 archs) -> reference CDM state_dict
+    (inverse of convert_cdm_checkpoint)."""
+    params = variables["params"]
+    stats = variables.get("batch_stats", {})
+    out: Dict[str, np.ndarray] = {}
+    _inv_timestep_embedder(out, params["timestep_embedder"])
+    _inv_dense(out, "contact_layer", params["contact_layer"])
+    cm = params["contact_model"]
+    if arch == "MLP":
+        for i in range(mlp_layers):
+            t = cm[f"PointSceneMLP_{i}"]
+            p = f"contact_model.point_mlp.{i}"
+            _inv_layernorm(out, f"{p}.mlp_pre.0", t["LayerNorm_0"])
+            _inv_dense(out, f"{p}.mlp_pre.1", t["Dense_0"])
+            _inv_dense(out, f"{p}.mlp_pre.3", t["Dense_1"])
+            _inv_layernorm(out, f"{p}.mlp_post.0", t["LayerNorm_1"])
+            _inv_dense(out, f"{p}.mlp_post.1", t["Dense_2"])
+            _inv_dense(out, f"{p}.mlp_post.3", t["Dense_3"])
+        return out
+    if arch in ("PointTrans", "PointTransV2"):
+        cs = stats["contact_model"]
+        p = "contact_model"
+        _inv_point_encoder(out, cm, cs, pt_blocks, f"{p}.")
+        _inv_point_decoder(out, cm, cs, len(pt_blocks), f"{p}.")
+
+        def inv_ctx(torch_name, tree_p, tree_s):
+            _inv_dense(out, f"{p}.{torch_name}.0", tree_p["Dense_0"])
+            _inv_bn(out, f"{p}.{torch_name}.1", tree_p["PointNorm_0"],
+                    tree_s["PointNorm_0"])
+            _inv_dense(out, f"{p}.{torch_name}.3", tree_p["Dense_1"])
+
+        if arch == "PointTransV2":
+            for i, name in enumerate(("ctx4", "ctx3", "ctx2")):
+                inv_ctx(name, cm[f"_CtxMLP_{i}"], cs[f"_CtxMLP_{i}"])
+            _inv_encoder(out, f"{p}.self_attn_layers",
+                         cm["TransformerEncoder_0"], 1)
+        else:
+            inv_ctx("ctx", cm["_CtxMLP_0"], cs["_CtxMLP_0"])
+        return out
+    assert arch == "Perceiver", f"unknown CDM arch {arch}"
+    p = "contact_model"
+    _inv_dense(out, f"{p}.encoder_adapter", cm["Dense_0"])
+    _inv_dense(out, f"{p}.language_adapter", cm["Dense_1"])
+    _inv_dense(out, f"{p}.time_embedding_adapter", cm["Dense_2"])
+    _inv_perceiver_cross_layer(out, f"{p}.encoder_cross_attn",
+                               cm["CrossAttentionLayer_0"])
+    for i in range(self_attn_layers):
+        _inv_perceiver_self_layer(
+            out, f"{p}.encoder_self_attn.{i}",
+            cm["SelfAttentionBlock_0"][f"SelfAttentionLayer_{i}"],
+        )
+    _inv_dense(out, f"{p}.decoder_adapter", cm["Dense_3"])
+    _inv_perceiver_cross_layer(out, f"{p}.decoder_cross_attn",
+                               cm["CrossAttentionLayer_1"])
+    return out
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str) -> None:
+    """Write an exported state_dict as a torch .pt the reference's
+    load_ckpt can read directly (reference: utils/training.py:342-383)."""
+    import torch
+
+    torch.save({k: torch.from_numpy(np.ascontiguousarray(v)) for k, v in sd.items()}, path)
