@@ -51,17 +51,23 @@ def _interpret() -> bool:
 TQ = 128  # query rows per tile (all level sizes are multiples of 128)
 
 # AM_BANDED_WINDOW sets the W policy's level-0 value (multiple of 128;
-# default 256). Smaller windows are faster but replace more true neighbors
-# with in-window ones: at N=8192, W=512 keeps ~94% of exact 8-NN, W=256
-# ~90%. The one-hot gather/scatter matmuls — the dominant step FLOPs —
-# scale with the window slice S, so W=256 measures 11.6 vs 10.7 flagship
-# steps/s against W=512, while the evaluator A/B (tools/metric_ab.py on
-# TPU) puts the W=256 banded leg at 0.18% APD vs the exact path — inside
-# the exact leg's own run-to-run spread. AM_BANDED_WINDOW=512 restores the
-# wider windows.
+# default 128 since round 3). Smaller windows are faster but replace more
+# true neighbors with in-window ones (hilbert L0 recall: .932 at W=128,
+# .949 at W=256, .965 at W=512; adaptive starts recover most of the
+# cross-level loss — docs/PERF.md window-locality study). The one-hot
+# gather/scatter matmuls — the dominant step FLOPs — scale with the
+# window slice S, so flagship train measures 12.05 (W=128+adaptive) /
+# 11.73 (W=256+adaptive) / 10.7 (W=512) steps/s. The evaluator A/B
+# (tools/metric_ab.py on TPU) CANNOT distinguish the windows: same-day
+# banded-leg APD deltas vs the exact path were 2.02% (W=128+adaptive),
+# 2.03% (W=256+adaptive), 2.12% (W=256 proportional), while a different
+# pipeline instance measured 0.18% (W=256) in round 2 — i.e. the delta is
+# dominated by the A/B instance, not the window, and all sit far inside
+# the 5% acceptance band (docs/PARITY.md). AM_BANDED_WINDOW=256/512
+# restores the wider windows.
 import os as _os
 
-_W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 256
+_W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 128
 
 # Per-item ADAPTIVE window starts: FPS density varies per scene, so for
 # cross-level kNN/gathers the proportional window centering can miss the
