@@ -60,8 +60,13 @@ N_ITEMS = 8
 
 # --------------------------------------------------------------------- data
 def make_ab_data(root: str) -> str:
-    """Synthetic HUMANISE tree in the reference layout, single-caption."""
-    from afford_motion_tpu.data.synthetic import make_synthetic_motionx_set
+    """Synthetic HUMANISE + H3D trees in the reference layout. HUMANISE
+    annos are rewritten single-caption (the reference picks captions with
+    ``random.choice``, motionx.py:612-616 — H3D needs no rewrite because
+    its test phase always takes ``text_list[0]``, humanml3d.py:530-535)."""
+    from afford_motion_tpu.data.synthetic import (
+        make_synthetic_h3d, make_synthetic_motionx_set,
+    )
 
     make_synthetic_motionx_set(root, "HUMANISE", n_items=N_ITEMS,
                                num_points=N_POINTS, seed=1)
@@ -72,6 +77,7 @@ def make_ab_data(root: str) -> str:
         head, utter = ln.rsplit(",", 1)
         fixed.append(f"{head},{utter.split('$$')[0]}")
     anno.write_text("\n".join(fixed) + "\n")
+    make_synthetic_h3d(root, n_items=N_ITEMS, num_points=N_POINTS)
     return root
 
 
@@ -199,6 +205,8 @@ def run_reference_test(pipe, cfg, model_t, diffusion_t, test_dir: str) -> Dict:
 
     model_t.eval()
     is_cmdm = str(cfg.model.name).startswith("CMDM")
+    # the same stream seed our test.py reads (task.test.noise_inject_seed)
+    noise_seed = int(cfg.task.test.get("noise_inject_seed", NOISE_SEED))
     sample_list, k_samples_list = [], []
     k_idxs = (list(range(evaluator.num_k_samples // B))
               if evaluator.k_samples > 0 else [])
@@ -220,7 +228,7 @@ def run_reference_test(pipe, cfg, model_t, diffusion_t, test_dir: str) -> Dict:
             for k in range(reps):
                 if is_cmdm:
                     x_kwargs["c_pc_contact"] = data["c_pc_contact"][:, k]
-                init, seq = parity_noise(NOISE_SEED, chain,
+                init, seq = parity_noise(noise_seed, chain,
                                          tuple(x.shape),
                                          diffusion_t.num_timesteps)
                 chain += 1
@@ -309,6 +317,10 @@ def run_our_test(overrides: Sequence[str], exp_dir: str) -> Dict:
 # ---------------------------------------------------------------- compare
 def parse_metrics_txt(path: str) -> Dict[str, float]:
     out = {}
+    if not Path(path).exists():
+        # the H3D evaluators are save-only (Eval.report is a no-op,
+        # reference utils/evaluate.py:20-28) — stage C compares files
+        return out
     for line in Path(path).read_text().strip().split("\n"):
         if ":" not in line:
             continue
@@ -412,10 +424,183 @@ def run_stage_b(root: str, data_dir: str, out_dir: str, contact_dir: str,
                    our_metrics, rtol, atol)
 
 
+# ------------------------------------------------- stage C: H3D (flagship)
+def _stage_c1_overrides(data_dir: str, out_dir: str) -> List[str]:
+    return [
+        "exp_name=ref_ab_h3d_cdm",
+        f"output_dir={out_dir}",
+        f"exp_dir={out_dir}/ref_ab_h3d_cdm",
+        "task=text_to_motion_contact_gen",
+        "model=cdm",
+        "model.arch=Perceiver",
+        "model.dtype=float32",
+        "model.scene_model.use_scene_model=False",
+        "model.arch_perceiver.encoder_q_input_channels=64",
+        "model.arch_perceiver.encoder_kv_input_channels=32",
+        "model.arch_perceiver.decoder_q_input_channels=32",
+        "model.arch_perceiver.decoder_kv_input_channels=64",
+        "model.arch_perceiver.encoder_num_heads=4",
+        "model.arch_perceiver.decoder_num_heads=4",
+        "model.arch_perceiver.encoder_self_attn_num_layers=1",
+        "model.arch_perceiver.last_dim=32",
+        f"task.dataset.data_dir={data_dir}",
+        f"task.dataset.num_points={N_POINTS}",
+        f"diffusion.steps={DIFF_STEPS}",
+        f"task.test.batch_size={B}",
+        f"task.test.noise_inject_seed={NOISE_SEED + 1}",
+        "task.evaluator.eval_nbatch=1",
+        "task.evaluator.k_samples=2",
+        "task.evaluator.num_k_samples=2",
+        "task.evaluator.save_results=true",
+        f"seed={SEED}",
+    ]
+
+
+def _stage_c2_overrides(data_dir: str, out_dir: str, contact_dir: str) -> List[str]:
+    return [
+        "exp_name=ref_ab_h3d_cmdm",
+        f"output_dir={out_dir}",
+        f"exp_dir={out_dir}/ref_ab_h3d_cmdm",
+        "task=text_to_motion_contact_motion_gen",
+        "model=cmdm",
+        "model.data_repr=h3d",   # 263-d HumanML3D vectors (reference scripts/t2m_contact_motion/train.sh)
+        "model.dtype=float32",
+        "model.latent_dim=64",
+        "model.time_emb_dim=64",
+        "model.num_heads=4",
+        "model.dim_feedforward=128",
+        "model.num_layers=[1,1]",
+        "model.contact_model.planes=[16,32,64,128]",
+        f"task.dataset.data_dir={data_dir}",
+        f"task.dataset.num_points={N_POINTS}",
+        "task.dataset.mix_train_ratio=0.0",
+        f"diffusion.steps={DIFF_STEPS}",
+        f"task.test.batch_size={B}",
+        f"task.test.noise_inject_seed={NOISE_SEED + 2}",
+        f"task.test.contact_folder={contact_dir}",
+        "task.evaluator.eval_nbatch=1",
+        "task.evaluator.k_samples=2",
+        "task.evaluator.num_k_samples=2",
+        "task.evaluator.save_results=true",
+        f"seed={SEED}",
+    ]
+
+
+def _compare_npy_tree(name: str, ref_dir: str, our_dir: str, pattern: str,
+                      rtol: float, sigma: float = 0.0) -> List[str]:
+    """Compare every saved artifact under ``pattern`` between the two test
+    dirs (the H3D evaluators are save-only — the OUTPUT FILES are the
+    parity surface: pred_contact handoff npys / MDM-protocol pkls).
+
+    ``sigma`` > 0: the npys hold σ-kernel DISTANCES
+    (d = σ√(-2 ln c), evaluate.py:60) whose relative error blows up near
+    the clip extremes (c→1: d→0; c clipped at 1e-20: d≈9.6σ) — compare in
+    CONTACT space, the representation the downstream CMDM actually
+    consumes (humanml3d.py:775-777 re-kernels the loaded dists)."""
+    import pickle
+
+    errs = []
+    ref_files = sorted(Path(ref_dir).glob(pattern))
+    our_files = {p.name: p for p in Path(our_dir).glob(pattern)}
+    if not ref_files:
+        return [f"{name}: reference produced no files for {pattern}"]
+    for rf in ref_files:
+        of = our_files.get(rf.name)
+        if of is None:
+            errs.append(f"{name}: our side missing {rf.name}")
+            continue
+        if rf.suffix == ".npy":
+            a, b = np.load(rf), np.load(of)
+            if sigma > 0 and a.shape == b.shape:
+                a = np.exp(-0.5 * a ** 2 / sigma ** 2)
+                b = np.exp(-0.5 * b ** 2 / sigma ** 2)
+            pairs = [("array", a, b)]
+        else:
+            with open(rf, "rb") as f:
+                ra = pickle.load(f)
+            with open(of, "rb") as f:
+                oa = pickle.load(f)
+            if int(ra["m_len"]) != int(oa["m_len"]) or ra["text"] != oa["text"]:
+                errs.append(f"{name}: {rf.name}: m_len/text mismatch")
+                continue
+            pairs = [("motion", np.asarray(ra["motion"]),
+                      np.asarray(oa["motion"]))]
+        for tag, a, b in pairs:
+            if a.shape != b.shape:
+                errs.append(f"{name}: {rf.name}: shape {b.shape} vs {a.shape}")
+                continue
+            rel = float(np.linalg.norm(b - a) / (np.linalg.norm(a) + 1e-12))
+            print(f"[ab] {name} {rf.name} ({tag}): rel={rel:.2e}")
+            if rel > rtol:
+                errs.append(f"{name}: {rf.name}: rel err {rel:.3e} > {rtol}")
+    return errs
+
+
+def run_stage_c(root: str, data_dir: str, out_dir: str, rtol: float):
+    """Flagship H3D family: ContactHumanML3DDataset -> CDM ->
+    ContactHumanML3DEvaluator handoff files, then
+    ContactMotionHumanML3DDataset (reading the REFERENCE handoff) -> CMDM
+    -> Text2MotionInSceneHumanML3DEvaluator MDM-protocol pkls. Both
+    evaluators are save-only (reference utils/evaluate.py:30-139), so
+    parity is asserted on the files themselves."""
+    import torch
+
+    from tests.ref_harness import load_reference_pipeline, randomize_module, state_dict_numpy
+    from afford_motion_tpu.utils.torch_convert import (
+        convert_cdm_checkpoint, convert_cmdm_checkpoint,
+    )
+
+    pipe = load_reference_pipeline()
+    _patch_text_encoders(pipe)
+    Cfg = __import__("tests.ref_harness", fromlist=["Cfg"]).Cfg
+
+    # ---- C1: stage-1 CDM on H3D contacts
+    overrides = _stage_c1_overrides(data_dir, out_dir)
+    cfg = load_our_cfg(overrides)
+    model_t = pipe.models.cdm.CDM(Cfg(_plain(cfg.model)))
+    randomize_module(model_t, seed=81)
+    diffusion_t = pipe.mbase.create_gaussian_diffusion(Cfg(_plain(cfg)))
+    ref_dir = os.path.join(root, "ref_c1")
+    torch.manual_seed(SEED)
+    run_reference_test(pipe, cfg, model_t, diffusion_t, ref_dir)
+
+    converted = convert_cdm_checkpoint(state_dict_numpy(model_t),
+                                       self_attn_layers=1)
+    exp_dir = os.path.join(out_dir, "ref_ab_h3d_cdm")
+    save_converted_ckpt(cfg, converted, os.path.join(exp_dir, "ckpt"))
+    _, our_dir = run_our_test(overrides, exp_dir)
+    errs = _compare_npy_tree("stage-C1(H3D pred_contact)", ref_dir, our_dir,
+                             "H3D/pred_contact/*.npy", rtol,
+                             sigma=float(cfg.task.dataset.sigma))
+
+    # ---- C2: stage-2 CMDM reading the REFERENCE C1 handoff
+    overrides2 = _stage_c2_overrides(data_dir, out_dir, ref_dir)
+    cfg2 = load_our_cfg(overrides2)
+    model_t2 = pipe.models.cmdm.CMDM(Cfg(_plain(cfg2.model)))
+    randomize_module(model_t2, seed=82)
+    model_t2.eval()
+    diffusion_t2 = pipe.mbase.create_gaussian_diffusion(Cfg(_plain(cfg2)))
+    ref_dir2 = os.path.join(root, "ref_c2")
+    torch.manual_seed(SEED)
+    run_reference_test(pipe, cfg2, model_t2, diffusion_t2, ref_dir2)
+
+    converted2 = convert_cmdm_checkpoint(
+        state_dict_numpy(model_t2), num_layers=(1, 1), blocks=(2, 2, 2, 2),
+        arch="trans_enc",
+    )
+    exp_dir2 = os.path.join(out_dir, "ref_ab_h3d_cmdm")
+    save_converted_ckpt(cfg2, converted2, os.path.join(exp_dir2, "ckpt"))
+    _, our_dir2 = run_our_test(overrides2, exp_dir2)
+    errs += _compare_npy_tree("stage-C2(H3D MDM-protocol pkl)", ref_dir2,
+                              our_dir2, "humanml/*.pkl", rtol)
+    return errs
+
+
 def run_ab(root: str, rtol: float = 0.05, atol: float = 0.02) -> Dict:
     errs_a, ref_s1_dir, data_dir, out_dir = run_stage_a(root, rtol, atol)
     errs_b = run_stage_b(root, data_dir, out_dir, ref_s1_dir, rtol, atol)
-    return {"errors": errs_a + errs_b}
+    errs_c = run_stage_c(root, data_dir, out_dir, rtol)
+    return {"errors": errs_a + errs_b + errs_c}
 
 
 def main() -> None:
