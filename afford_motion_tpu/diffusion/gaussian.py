@@ -385,8 +385,19 @@ class GaussianDiffusion:
         )
         nd = x.ndim
         eps = self._predict_eps_from_xstart(x, t, out["pred_xstart"])
-        alpha_bar = _extract(self.alphas_cumprod, t, nd)
         alpha_bar_prev = _extract(self.alphas_cumprod_prev, t, nd)
+        if eta == 0.0:
+            # Deterministic DDIM (the standard deployment mode): sigma is
+            # identically 0, so the noise term vanishes — skip the per-step
+            # normal draw entirely. Bit-identical to the general branch
+            # (mean_pred + 0 * noise == mean_pred); eta is a static Python
+            # float, so this resolves at trace time.
+            sample = (
+                out["pred_xstart"] * jnp.sqrt(alpha_bar_prev)
+                + jnp.sqrt(1 - alpha_bar_prev) * eps
+            )
+            return {"sample": sample, "pred_xstart": out["pred_xstart"]}
+        alpha_bar = _extract(self.alphas_cumprod, t, nd)
         sigma = (
             eta
             * jnp.sqrt((1 - alpha_bar_prev) / (1 - alpha_bar))

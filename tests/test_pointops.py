@@ -150,3 +150,29 @@ def test_gradients_flow_through_grouping():
     g = jax.grad(loss)(feats)
     assert g.shape == feats.shape
     assert np.isfinite(np.asarray(g)).all() and np.abs(np.asarray(g)).sum() > 0
+
+
+def test_fps_pallas_batched_kernel_matches_xla():
+    """The batched VMEM-resident FPS kernel (interpret mode on CPU) selects
+    exactly the same indices as the XLA reference path — including the
+    batch-chunked wrapper (chunk boundary forced via a tiny VMEM budget)."""
+    from afford_motion_tpu.ops.pallas import fps as pfps
+    from afford_motion_tpu.ops.pointops import _batched_fps_xla
+
+    rng = np.random.default_rng(11)
+    pts = jnp.asarray(rng.normal(size=(5, 260, 3)).astype(np.float32))
+    want = np.asarray(_batched_fps_xla(pts, 64))
+
+    got = np.asarray(pfps.fps_pallas(pts, 64))
+    np.testing.assert_array_equal(got, want)
+
+    # force the chunked path (2-row chunks incl. a ragged tail)
+    old = pfps._VMEM_BUDGET_BYTES
+    pfps._VMEM_BUDGET_BYTES = pfps._PLANES * 260 * 4 * 2
+    try:
+        pfps.fps_pallas.clear_cache()
+        got_chunked = np.asarray(pfps.fps_pallas(pts, 64))
+    finally:
+        pfps._VMEM_BUDGET_BYTES = old
+        pfps.fps_pallas.clear_cache()
+    np.testing.assert_array_equal(got_chunked, want)
