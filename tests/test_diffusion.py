@@ -252,3 +252,47 @@ def test_learned_range_variance_path():
     assert out["mean"].shape == (B, L, D)
     terms = diff.training_losses(model_fn, x0, t, jax.random.PRNGKey(2))
     assert "vb" in terms and terms["loss"].shape == (B,)
+
+
+def test_ddim_eta0_fast_path_matches_general_branch():
+    """The eta==0 DDIM step (which skips sigma and the per-step normal draw;
+    gaussian.py:389-399) must equal the general-branch formula evaluated at
+    sigma=0: pred_xstart*sqrt(ab_prev) + sqrt(1-ab_prev)*eps."""
+    T = 40
+    betas = get_named_beta_schedule("cosine", T)
+    diff = GaussianDiffusion.create(
+        betas,
+        model_mean_type=ModelMeanType.START_X,
+        model_var_type=ModelVarType.FIXED_SMALL,
+        loss_type=LossType.MSE,
+    )
+    rng = np.random.default_rng(7)
+    B, L, D = 3, 5, 4
+    x = jnp.asarray(rng.normal(size=(B, L, D)).astype(np.float32))
+    t = jnp.array([0, 17, 39])
+
+    def model_fn(xt, tt):
+        return jnp.tanh(xt) * 0.5
+
+    out = diff.ddim_sample(model_fn, x, t, jax.random.PRNGKey(3),
+                           clip_denoised=False, eta=0.0)
+
+    # general-branch oracle at sigma=0 (float64 numpy)
+    sched = oracle_schedule(betas)
+    tn = np.asarray(t)
+    xn = np.asarray(x, dtype=np.float64)
+    pred_x0 = np.tanh(xn) * 0.5
+    eps = (
+        sched["sqrt_recip_alphas_cumprod"][tn][:, None, None] * xn - pred_x0
+    ) / sched["sqrt_recipm1_alphas_cumprod"][tn][:, None, None]
+    ac_prev = np.append(1.0, sched["alphas_cumprod"][:-1])[tn][:, None, None]
+    want = pred_x0 * np.sqrt(ac_prev) + np.sqrt(1 - ac_prev) * eps
+    np.testing.assert_allclose(np.asarray(out["sample"]), want, rtol=2e-5, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(out["pred_xstart"]), pred_x0, rtol=2e-5, atol=2e-6)
+
+    # and a tiny-eta general-branch run must converge to the fast path
+    out_tiny = diff.ddim_sample(model_fn, x, t, jax.random.PRNGKey(3),
+                                clip_denoised=False, eta=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(out_tiny["sample"]), np.asarray(out["sample"]), rtol=1e-4, atol=1e-5
+    )
