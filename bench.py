@@ -477,12 +477,17 @@ def bench_sampler_ddim(baselines: dict) -> None:
     out = chain(jax.random.PRNGKey(0))
     _sync(out)
     reps = max(1, int(os.environ.get("BENCH_SAMPLE_REPS", 3)))
+    # a ddim50 chain is ~0.25 s — time a multi-chain block per rep so the
+    # ~10 ms tunnel-dispatch jitter stays <1% of the measured interval
+    # (the 1000/500-step chains are multi-second and need no blocking)
+    per_block = max(1, int(os.environ.get("BENCH_DDIM_BLOCK", 4)))
     rates = []
     for i in range(reps):
         t_start = time.perf_counter()
-        out = chain(jax.random.PRNGKey(i + 1))
+        for j in range(per_block):
+            out = chain(jax.random.PRNGKey(1 + i * per_block + j))
         _sync(out)
-        rates.append(1.0 / (time.perf_counter() - t_start))
+        rates.append(per_block / (time.perf_counter() - t_start))
     chains_per_sec = float(np.median(rates))
     _emit(
         f"cmdm_h3d_sample_chains_per_sec_b{B}_ddim50", chains_per_sec,
