@@ -257,6 +257,15 @@ def _onehot(idx_block, start, K, s, dtype):
     return oh.reshape(TQ * K, s)
 
 
+def _dot_precision(dtype) -> lax.Precision:
+    """TPU MXU default precision rounds f32 operands to bf16 — for a
+    one-hot SELECTION matmul that silently degrades gathered f32 data to
+    bf16 (caught by the compiled-kernel tier, tests_tpu/). HIGHEST makes
+    the f32 path exact (1.0-one-hot x bf16x3-split recovers f32 bit-for-
+    bit); bf16 operands stay on the fast single pass either way."""
+    return lax.Precision.HIGHEST if dtype == jnp.float32 else lax.Precision.DEFAULT
+
+
 def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
     """starts (G,)|(B, G) SMEM; idx (1, TQ, K) VMEM; x (1, N, C); o (1, TQ*K, C)."""
     b = pl.program_id(0)
@@ -267,6 +276,7 @@ def _gather_kernel(K: int, s: int, starts_ref, idx_ref, x_ref, o_ref):
     o_ref[0] = jax.lax.dot_general(
         onehot, xw, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=_dot_precision(xw.dtype),
     ).astype(o_ref.dtype)
 
 
@@ -280,6 +290,7 @@ def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
     o_ref[0, 0] = jax.lax.dot_general(
         onehot, g, (((0,), (0,)), ((), ())),                # (S, C)
         preferred_element_type=jnp.float32,
+        precision=_dot_precision(g.dtype),
     ).astype(o_ref.dtype)
 
 
@@ -351,9 +362,12 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray,
         == blocks[:, :, None, None]
     ).astype(jnp.float32)                                         # (B,G,kb,nb)
     tiles_b = tiles.reshape(B, G, kb, 128 * C)
+    # tiles are the f32 accumulators — HIGHEST keeps the fold from
+    # rounding them to bf16 on the MXU (negligible FLOPs either way)
     dx = jnp.einsum(
         "bgkn,bgkd->bnd", oh, tiles_b,
         preferred_element_type=jnp.float32,
+        precision=lax.Precision.HIGHEST,
     ).reshape(B, n, C)
     return dx.astype(g.dtype)
 
