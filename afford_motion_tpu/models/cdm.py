@@ -254,6 +254,10 @@ class CDM(nn.Module):
     # banded windowed-neighborhood kernels for point hierarchies (Morton-
     # sorted clouds only; set by the TrainLoop — see ops/pallas/banded.py)
     use_banded: bool = False
+    # banded W0 window width / adaptive-starts knobs (config values; 0/None
+    # = resolve_* env+default policy — see ops/pallas/banded.py)
+    banded_window: int = 0
+    banded_adaptive: Any = None
     # bit-exact kNN for the hierarchies (no Pallas packed-bits kernel, no
     # approx_min_k) — the reference-parity eval path; see PARITY.md's
     # measured metric deltas for the shipped default
@@ -387,4 +391,6 @@ def build_cdm(model_cfg: Any) -> CDM:
         # normally set by the TrainLoop for Morton-sorted packed data;
         # config override enables eval-side banded runs (metric A/B)
         use_banded=bool(model_cfg.get("use_banded", False)),
+        banded_window=int(model_cfg.get("banded_window", 0) or 0),
+        banded_adaptive=model_cfg.get("banded_adaptive", None),
     )

@@ -58,6 +58,12 @@ class CMDM(nn.Module):
     # (requires Morton-sorted clouds; the TrainLoop sets this when the
     # packed store reports Morton order — see ops/pallas/banded.py)
     use_banded: bool = False
+    # banded W0 window width (model.banded_window; 0 = resolve_window's
+    # env+default policy, i.e. 128 since round 3) and adaptive per-item
+    # window starts (model.banded_adaptive; None = default ON). Config
+    # knobs — AM_BANDED_* env vars are debug overrides only.
+    banded_window: int = 0
+    banded_adaptive: Any = None
     # bit-exact kNN for the hierarchy (no Pallas packed-bits kernel, no
     # approx_min_k) — the reference-parity eval path; see PARITY.md's
     # measured metric deltas for the shipped default
@@ -278,5 +284,7 @@ def build_cmdm(model_cfg: Any) -> CMDM:
         # normally set by the TrainLoop for Morton-sorted packed data;
         # config override enables eval-side banded runs (metric A/B)
         use_banded=bool(model_cfg.get("use_banded", False)),
+        banded_window=int(model_cfg.get("banded_window", 0) or 0),
+        banded_adaptive=model_cfg.get("banded_adaptive", None),
         fused_qkv=bool(model_cfg.get("fused_qkv", False)),
     )

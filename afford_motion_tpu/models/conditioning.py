@@ -80,6 +80,11 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
     # model.knn_exact: bit-exact reference-parity kNN (eval A/B leg);
     # threaded as an explicit static arg, same discipline as use_banded
     knn_method = "exact" if bool(getattr(model, "knn_exact", False)) else None
+    # the banded window/adaptive knobs ride on the model config too
+    # (model.banded_window / model.banded_adaptive; resolved in banded.py —
+    # AM_BANDED_* env vars remain available as debug overrides)
+    window = int(getattr(model, "banded_window", 0) or 0)
+    adaptive = getattr(model, "banded_adaptive", None)
 
     def levels_for(prefix, strides, nsamples, up):
         if f"{prefix}0_knn_idx" in cond:      # full geometry cache
@@ -88,16 +93,18 @@ def add_hierarchies(model, cond: Dict[str, Any]) -> Dict[str, Any]:
             # geometry cache), so it transfers to the cached-index gathers;
             # offline exact caches ride with use_banded=False
             return geometry_from_arrays(
-                cond, xyz, len(strides), prefix=prefix, banded=banded
+                cond, xyz, len(strides), prefix=prefix, banded=banded,
+                window=window, adaptive=adaptive,
             )
         if f"{prefix}1_fps_idx" in cond:      # fps-only wire: kNN on device
             return build_point_hierarchy_from_fps(
                 xyz, cond, strides, nsamples, prefix=prefix, with_up=up,
                 banded=banded, knn_method=knn_method,
+                window=window, adaptive=adaptive,
             )
         return build_point_hierarchy(
             xyz, strides, nsamples, with_up=up, banded=banded,
-            knn_method=knn_method,
+            knn_method=knn_method, window=window, adaptive=adaptive,
         )
 
     def sm_levels():

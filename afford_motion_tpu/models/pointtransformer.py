@@ -31,7 +31,8 @@ from ..ops.hierarchy import LevelGeometry
 
 
 def bgather(x: jnp.ndarray, idx: jnp.ndarray, banded: bool = False,
-            starts: Optional[jnp.ndarray] = None) -> jnp.ndarray:
+            starts: Optional[jnp.ndarray] = None,
+            window: int = 0) -> jnp.ndarray:
     """Batched neighbourhood gather: x (B, N, C), idx (B, ...) -> (B, ..., C).
 
     On TPU, 3-D (B, M, K) index gathers route to a Pallas kernel: with
@@ -41,15 +42,18 @@ def bgather(x: jnp.ndarray, idx: jnp.ndarray, banded: bool = False,
     loop), else the row-copy kernel (ops/pallas/gather.py — 2.4x fwd /
     3.5x bwd vs the XLA gather). ``starts`` (B, G) are the per-item window
     starts the indices were produced with (LevelGeometry.down_starts /
-    up_starts; None = proportional policy)."""
+    up_starts; None = proportional policy); ``window`` the W0 width knob
+    they were built with (``LevelGeometry.window``; 0 = env/default)."""
     if idx.ndim == 3 and jax.default_backend() == "tpu":
         from ..ops.pallas import banded as banded_mod
         from ..ops.pallas.gather import gather_rows
 
         if banded and banded_mod.gather_supports(
-            idx.shape[1], x.shape[1], x.shape[2], idx.shape[2], x.dtype.itemsize
+            idx.shape[1], x.shape[1], x.shape[2], idx.shape[2],
+            x.dtype.itemsize, window,
         ):
-            return banded_mod.gather_banded(x, idx.astype(jnp.int32), starts)
+            return banded_mod.gather_banded(x, idx.astype(jnp.int32), starts,
+                                            window)
         return gather_rows(x, idx.astype(jnp.int32))
     return jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
 
@@ -88,8 +92,9 @@ class PointTransformerLayer(nn.Module):
     dtype: Any = jnp.float32
     # indices come from the banded windowed kNN (set from geom.banded by
     # the enclosing block/stage — a static attr, not a call arg, so the
-    # remat path stays clean)
+    # remat path stays clean); window = the W0 they were built with
     banded: bool = False
+    window: int = 0
 
     @nn.compact
     def __call__(self, p, x, knn_idx, *, train: bool = False):
@@ -106,7 +111,7 @@ class PointTransformerLayer(nn.Module):
             jnp.concatenate(
                 [p, nn.Dense(C, dtype=self.dtype)(x), nn.Dense(C, dtype=self.dtype)(x)],
                 axis=-1,
-            ), knn_idx, self.banded
+            ), knn_idx, self.banded, window=self.window
         )                                                    # (B, N, K, 3+2C)
         rel = packed[..., :3] - p[:, :, None, :]             # (B, N, K, 3)
         x_k, x_v = packed[..., 3: 3 + C], packed[..., 3 + C:]
@@ -149,7 +154,7 @@ class TransitionDown(nn.Module):
         # single packed gather (see PointTransformerLayer note)
         packed = bgather(
             jnp.concatenate([parent_xyz.astype(self.dtype), x], axis=-1),
-            geom.down_knn_idx, geom.banded, geom.down_starts,
+            geom.down_knn_idx, geom.banded, geom.down_starts, geom.window,
         )
         rel = packed[..., :3] - new_xyz[:, :, None, :]
         grouped = jnp.concatenate([rel, packed[..., 3:]], axis=-1)
@@ -192,7 +197,8 @@ class TransitionUp(nn.Module):
         b = nn.Dense(self.out_planes, dtype=self.dtype)(coarse_x.astype(self.dtype))
         b = nn.relu(PointNorm(self.norm, dtype=self.dtype)(b, train=train))
         gathered = bgather(b, coarse_geom.up_idx, coarse_geom.banded,
-                           coarse_geom.up_starts)  # (B, N_fine, 3, C)
+                           coarse_geom.up_starts,
+                           coarse_geom.window)  # (B, N_fine, 3, C)
         b_up = jnp.einsum(
             "bnkc,bnk->bnc", gathered, coarse_geom.up_weight.astype(self.dtype)
         )
@@ -211,6 +217,7 @@ class PointTransformerBlock(nn.Module):
     # checkpoint traces all call args), so it can be pinned here instead
     static_train: bool = False
     banded: bool = False  # knn_idx came from the banded windowed kNN
+    window: int = 0       # ...with this W0 width knob
 
     @nn.compact
     def __call__(self, p, x, knn_idx, train: Optional[bool] = None):
@@ -220,7 +227,8 @@ class PointTransformerBlock(nn.Module):
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(x)
         h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
         h = PointTransformerLayer(self.planes, self.share_planes, self.norm,
-                                  dtype=self.dtype, banded=self.banded)(
+                                  dtype=self.dtype, banded=self.banded,
+                                  window=self.window)(
             p, h, knn_idx, train=train)
         h = nn.relu(PointNorm(self.norm, dtype=self.dtype)(h, train=train))
         h = nn.Dense(self.planes, use_bias=False, dtype=self.dtype)(h)
@@ -249,7 +257,8 @@ class PointEncoderStage(nn.Module):
         # (docs/PERF.md negative-results ledger; former AM_REMAT_PT flag).
         for _ in range(1, self.blocks):
             x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
-                                      dtype=self.dtype, banded=geom.banded)(
+                                      dtype=self.dtype, banded=geom.banded,
+                                      window=geom.window)(
                 geom.xyz, x, geom.knn_idx, train
             )
         return x
@@ -281,7 +290,8 @@ class PointDecoderStage(nn.Module):
         )
         for _ in range(1, self.blocks):
             x = PointTransformerBlock(self.planes, self.share_planes, self.norm,
-                                      dtype=self.dtype, banded=geom.banded)(
+                                      dtype=self.dtype, banded=geom.banded,
+                                      window=geom.window)(
                 geom.xyz, x, geom.knn_idx, train=train
             )
         return x

@@ -22,13 +22,14 @@ from .pointops import batched_fps, batched_knn, interpolation_weights
 
 def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
               banded_on: bool = False, method: Optional[str] = None,
-              starts: Optional[jnp.ndarray] = None):
+              starts: Optional[jnp.ndarray] = None, window: int = 0):
     """Windowed (banded) kNN on curve-ordered data when requested (and
     the shapes/backend support it), full kNN otherwise. Both bandedness
     and the kNN method are explicit per-call arguments — no process-global
     state. ``method='exact'`` is the bit-exact reference-parity path
     (no Pallas packed-bits kernel, no approx_min_k). ``starts`` (B, G)
-    overrides the per-tile window starts (adaptive centering)."""
+    overrides the per-tile window starts (adaptive centering); ``window``
+    is the W0 width knob (0 = env/default policy)."""
     from .pallas import banded
 
     if (
@@ -36,12 +37,13 @@ def _knn_auto(query: jnp.ndarray, support: jnp.ndarray, k: int,
         and banded.available()
         and banded.knn_supports(query.shape[1], support.shape[1], k)
     ):
-        return banded.knn_banded(query, support, k, starts)
+        return banded.knn_banded(query, support, k, starts, window)
     return batched_knn(query, support, k, method)
 
 
 def _adaptive_starts(fps_idx, m_query: int, n_support: int, k: int,
-                     banded_on: bool, kind: str):
+                     banded_on: bool, kind: str, window: int = 0,
+                     adaptive: Optional[bool] = None):
     """Per-item window starts for cross-level banded ops, or None whenever
     the banded kernel would not engage (the gating mirrors _knn_auto so a
     fallback exact kNN is never paired with windowed gathers). Pure
@@ -52,14 +54,14 @@ def _adaptive_starts(fps_idx, m_query: int, n_support: int, k: int,
     if (
         fps_idx is None
         or not banded_on
-        or not banded.ADAPTIVE
+        or not banded.resolve_adaptive(adaptive)
         or not banded.available()
         or not banded.knn_supports(m_query, n_support, k)
     ):
         return None
     if kind == "down":
-        return banded.adaptive_down_starts(fps_idx, n_support)
-    return banded.adaptive_up_starts(fps_idx, m_query)
+        return banded.adaptive_down_starts(fps_idx, n_support, window)
+    return banded.adaptive_up_starts(fps_idx, m_query, window)
 
 
 @struct.dataclass
@@ -86,6 +88,10 @@ class LevelGeometry:
     # the banded windowed kNN, so neighbourhood gathers may use the banded
     # one-hot-matmul kernels. Part of the jit cache key by construction.
     banded: bool = struct.field(pytree_node=False, default=False)
+    # W0 window-width knob the indices were built with (model.banded_window;
+    # 0 = env/default policy) — gathers MUST use the same width or the
+    # containment invariant breaks. Static for the same reason as banded.
+    window: int = struct.field(pytree_node=False, default=0)
 
     @property
     def num_points(self) -> int:
@@ -100,6 +106,8 @@ def _level_geom(
     banded: bool = False,
     sort_fps: bool = False,
     knn_method: Optional[str] = None,
+    window: int = 0,
+    adaptive: Optional[bool] = None,
 ) -> LevelGeometry:
     """Batched geometry for one downsampling step ((B, N, 3) arrays)."""
     n = parent_xyz.shape[1]
@@ -123,17 +131,20 @@ def _level_geom(
             # in selection order (tests/test_golden_parity.py).
             fps_idx = jnp.sort(fps_idx, axis=-1)
         xyz = jnp.take_along_axis(parent_xyz, fps_idx[..., None], axis=1)
-        down_starts = _adaptive_starts(fps_idx, m, n, nsample, banded, "down")
+        down_starts = _adaptive_starts(fps_idx, m, n, nsample, banded, "down",
+                                       window, adaptive)
         down_knn_idx, _ = _knn_auto(xyz, parent_xyz, nsample, banded,
-                                    knn_method, down_starts)
+                                    knn_method, down_starts, window)
 
-    knn_idx, _ = _knn_auto(xyz, xyz, nsample, banded, knn_method)
+    knn_idx, _ = _knn_auto(xyz, xyz, nsample, banded, knn_method,
+                           window=window)
 
     up_idx = up_weight = up_starts = None
     if with_up and stride != 1:
-        up_starts = _adaptive_starts(fps_idx, n, xyz.shape[1], 3, banded, "up")
+        up_starts = _adaptive_starts(fps_idx, n, xyz.shape[1], 3, banded, "up",
+                                     window, adaptive)
         up_idx, up_dist = _knn_auto(parent_xyz, xyz, 3, banded, knn_method,
-                                    up_starts)
+                                    up_starts, window)
         up_weight = interpolation_weights(up_dist)
 
     return LevelGeometry(
@@ -146,6 +157,7 @@ def _level_geom(
         down_starts=down_starts,
         up_starts=up_starts,
         banded=banded,
+        window=window,
     )
 
 
@@ -161,23 +173,30 @@ def build_point_hierarchy(
     banded: bool = False,
     sort_fps: bool = False,
     knn_method: Optional[str] = None,
+    window: int = 0,
+    adaptive: Optional[bool] = None,
 ) -> List[LevelGeometry]:
     """Jit-compiled wrapper (eager execution of the FPS/kNN cascade would
     dispatch op-by-op, which is pathological over a remote TPU).
 
     ``sort_fps`` relabels each level into ascending-index order (implied
     by ``banded``; offline geometry caches also set it so the cached
-    indices satisfy the banded wire's window assumption)."""
+    indices satisfy the banded wire's window assumption).
+    ``window``/``adaptive``: the banded W0 width and adaptive-starts knobs
+    (model.banded_window / model.banded_adaptive; 0/None = env+default)."""
     return list(
         _build_point_hierarchy(
             xyz, tuple(strides), tuple(nsamples), with_up=with_up,
             banded=banded, sort_fps=sort_fps, knn_method=knn_method,
+            window=window, adaptive=adaptive,
         )
     )
 
 
 @functools.partial(
-    jax.jit, static_argnames=("strides", "nsamples", "with_up", "banded", "sort_fps", "knn_method")
+    jax.jit,
+    static_argnames=("strides", "nsamples", "with_up", "banded", "sort_fps",
+                     "knn_method", "window", "adaptive"),
 )
 def _build_point_hierarchy(
     xyz: jnp.ndarray,
@@ -188,6 +207,8 @@ def _build_point_hierarchy(
     banded: bool = False,
     sort_fps: bool = False,
     knn_method: Optional[str] = None,
+    window: int = 0,
+    adaptive: Optional[bool] = None,
 ) -> List[LevelGeometry]:
     """Build the full hierarchy for a batch of clouds, (B, N, 3).
 
@@ -201,7 +222,8 @@ def _build_point_hierarchy(
     # half-precision wire inputs: FPS/kNN distance math needs f32
     parent = xyz.astype(jnp.float32) if xyz.dtype != jnp.float32 else xyz
     for stride, nsample in zip(strides, nsamples):
-        geom = _level_geom(parent, stride, nsample, with_up, banded, sort_fps, knn_method)
+        geom = _level_geom(parent, stride, nsample, with_up, banded, sort_fps,
+                           knn_method, window, adaptive)
         levels.append(geom)
         parent = geom.xyz
     return levels
@@ -217,6 +239,8 @@ def build_point_hierarchy_from_fps(
     with_up: bool = True,
     banded: bool = False,
     knn_method: Optional[str] = None,
+    window: int = 0,
+    adaptive: Optional[bool] = None,
 ) -> List[LevelGeometry]:
     """Rebuild the hierarchy from cached FPS indices only, recomputing all
     kNN / up-interpolation on device.
@@ -254,31 +278,33 @@ def build_point_hierarchy_from_fps(
             lvl_xyz = jnp.take_along_axis(parent, fps_idx[..., None], axis=1)
             down_starts = _adaptive_starts(
                 fps_idx, lvl_xyz.shape[1], parent.shape[1], nsample, banded,
-                "down",
+                "down", window, adaptive,
             )
             down_knn_idx = cached(li, "down_knn_idx")
             if down_knn_idx is None:
                 down_knn_idx, _ = _knn_auto(lvl_xyz, parent, nsample, banded,
-                                            knn_method, down_starts)
+                                            knn_method, down_starts, window)
         knn_idx = cached(li, "knn_idx")
         if knn_idx is None:
-            knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded, knn_method)
+            knn_idx, _ = _knn_auto(lvl_xyz, lvl_xyz, nsample, banded,
+                                   knn_method, window=window)
         up_idx = up_weight = up_starts = None
         if with_up and stride != 1:
             up_starts = _adaptive_starts(
-                fps_idx, parent.shape[1], lvl_xyz.shape[1], 3, banded, "up"
+                fps_idx, parent.shape[1], lvl_xyz.shape[1], 3, banded, "up",
+                window, adaptive,
             )
             up_idx = cached(li, "up_idx")
             up_weight = cached(li, "up_weight")
             if up_idx is None or up_weight is None:
                 up_idx, up_dist = _knn_auto(parent, lvl_xyz, 3, banded,
-                                            knn_method, up_starts)
+                                            knn_method, up_starts, window)
                 up_weight = interpolation_weights(up_dist)
         levels.append(LevelGeometry(
             xyz=lvl_xyz, knn_idx=knn_idx, fps_idx=fps_idx,
             down_knn_idx=down_knn_idx, up_idx=up_idx, up_weight=up_weight,
             down_starts=down_starts, up_starts=up_starts,
-            banded=banded,
+            banded=banded, window=window,
         ))
         parent = lvl_xyz
     return levels
@@ -309,7 +335,7 @@ def geometry_to_arrays(levels: List[LevelGeometry], prefix: str = "geo") -> dict
 
 def geometry_from_arrays(
     arrays: dict, xyz: jnp.ndarray, num_levels: int, prefix: str = "geo",
-    banded: bool = False,
+    banded: bool = False, window: int = 0, adaptive: Optional[bool] = None,
 ) -> List[LevelGeometry]:
     """Rebuild LevelGeometry from cached index arrays + the (augmented)
     level-0 coordinates: per-level xyz is re-gathered through the cached
@@ -340,12 +366,12 @@ def geometry_from_arrays(
         if fps_idx is not None and down_knn_idx is not None:
             down_starts = _adaptive_starts(
                 fps_idx, lvl_xyz.shape[1], parent_xyz.shape[1],
-                int(down_knn_idx.shape[-1]), banded, "down",
+                int(down_knn_idx.shape[-1]), banded, "down", window, adaptive,
             )
         if fps_idx is not None and up_idx is not None:
             up_starts = _adaptive_starts(
                 fps_idx, parent_xyz.shape[1], lvl_xyz.shape[1], 3,
-                banded, "up",
+                banded, "up", window, adaptive,
             )
         levels.append(LevelGeometry(
             xyz=lvl_xyz,
@@ -355,7 +381,7 @@ def geometry_from_arrays(
             up_idx=None if up_idx is None else up_idx.astype(jnp.int32),
             up_weight=None if get("up_weight") is None else get("up_weight").astype(jnp.float32),
             down_starts=down_starts, up_starts=up_starts,
-            banded=banded,
+            banded=banded, window=window,
         ))
         parent_xyz = lvl_xyz
     return levels

@@ -50,44 +50,50 @@ def _interpret() -> bool:
 
 TQ = 128  # query rows per tile (all level sizes are multiples of 128)
 
-# AM_BANDED_WINDOW sets the W policy's level-0 value (multiple of 128;
-# default 128 since round 3). Smaller windows are faster but replace more
-# true neighbors with in-window ones (hilbert L0 recall: .932 at W=128,
-# .949 at W=256, .965 at W=512; adaptive starts recover most of the
-# cross-level loss — docs/PERF.md window-locality study). The one-hot
-# gather/scatter matmuls — the dominant step FLOPs — scale with the
-# window slice S, so flagship train measures 12.05 (W=128+adaptive) /
-# 11.73 (W=256+adaptive) / 10.7 (W=512) steps/s. The evaluator A/B
-# (tools/metric_ab.py on TPU) CANNOT distinguish the windows: same-day
-# banded-leg APD deltas vs the exact path were 2.02% (W=128+adaptive),
-# 2.03% (W=256+adaptive), 2.12% (W=256 proportional), while a different
-# pipeline instance measured 0.18% (W=256) in round 2 — i.e. the delta is
-# dominated by the A/B instance, not the window, and all sit far inside
-# the 5% acceptance band (docs/PARITY.md). AM_BANDED_WINDOW=256/512
-# restores the wider windows.
+# The window-width knob W0 (the W policy's level-0 value, multiple of 128;
+# default 128 since round 3) and the adaptive-starts toggle are CONFIG
+# values — ``model.banded_window`` / ``model.banded_adaptive`` in the model
+# yamls, threaded to the kernels exactly like ``use_banded`` (model field
+# -> add_hierarchies -> LevelGeometry static fields -> per-call arguments).
+# The AM_BANDED_* env vars are DEBUG overrides only (quick A/B without a
+# config edit); they take precedence when set.
+#
+# Why the knob matters: smaller windows are faster but replace more true
+# neighbors with in-window ones (hilbert L0 recall: .932 at W=128, .949 at
+# W=256, .965 at W=512; adaptive starts recover most of the cross-level
+# loss — docs/PERF.md window-locality study). The one-hot gather/scatter
+# matmuls — the dominant step FLOPs — scale with the window slice S, so
+# flagship train measures 12.05 (W=128+adaptive) / 11.73 (W=256+adaptive) /
+# 10.7 (W=512) steps/s. Accuracy evidence: docs/PARITY.md (paired A/B).
 import os as _os
 
-_W0 = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0) or 128
 
-# Per-item ADAPTIVE window starts: FPS density varies per scene, so for
-# cross-level kNN/gathers the proportional window centering can miss the
-# query tile's true curve position (measured: down-level in-window recall
-# .87 -> .93 at the same S on room-like clouds, docs/PERF.md
-# "window-locality study"). Starts become a (B, G) operand — a pure
-# function of fps_idx, recomputed identically wherever the geometry is
-# (re)built, so cached kNN indices and per-step gathers always agree.
-# Default ON since round 3: the compiled (B, G)-starts kernels + einsum
-# scatter fold validated on the real chip (flagship 11.73 vs 11.57
-# steps/s, spread <1%) and adaptive only ADDS in-window recall at the same
-# window size S. AM_BANDED_ADAPTIVE=0 restores the round-2 proportional
-# starts.
-ADAPTIVE = (_os.environ.get("AM_BANDED_ADAPTIVE", "1") != "0")
+def resolve_window(cfg_value: int = 0) -> int:
+    """W0 precedence: AM_BANDED_WINDOW (debug override) > config value
+    (``model.banded_window``; 0 = unset) > 128 (the round-3 default)."""
+    env = int(_os.environ.get("AM_BANDED_WINDOW", "0") or 0)
+    v = env or int(cfg_value or 0) or 128
+    return max(128, (v // 128) * 128)
 
 
-def window_width(n_support: int) -> int:
-    """W policy: scale with support size, clamped to [128, W0] (W0 =
-    AM_BANDED_WINDOW, default 256), multiple of 128."""
-    return max(128, min((_W0 // 128) * 128, (n_support // 16) // 128 * 128))
+def resolve_adaptive(cfg_value=None) -> bool:
+    """Adaptive per-item window starts (FPS density varies per scene;
+    centering cross-level windows on each query tile's actual fps_idx span
+    measured down-level in-window recall .87 -> .93 at the same S —
+    docs/PERF.md "window-locality study"; default ON since round 3).
+    Precedence: AM_BANDED_ADAPTIVE (debug override) > config value
+    (``model.banded_adaptive``; None = unset) > True."""
+    env = _os.environ.get("AM_BANDED_ADAPTIVE")
+    if env is not None and env != "":
+        return env != "0"
+    return True if cfg_value is None else bool(cfg_value)
+
+
+def window_width(n_support: int, w0: int = 0) -> int:
+    """W policy: scale with support size, clamped to [128, W0], multiple
+    of 128. ``w0=0`` resolves to the env/default policy (resolve_window)."""
+    w0 = resolve_window(w0)
+    return max(128, min(w0, (n_support // 16) // 128 * 128))
 
 
 def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
@@ -104,12 +110,12 @@ def window_starts(m: int, n: int, w: int) -> Tuple[List[int], int]:
     return starts, s
 
 
-def _starts_array(b: int, m: int, n: int) -> jnp.ndarray:
+def _starts_array(b: int, m: int, n: int, w0: int = 0) -> jnp.ndarray:
     """Proportional starts as a rank-1 (G,) operand — the static policy
     values. Kernels read rank-1 starts per tile (the round-1 compiled
     path, bit-identical) and rank-2 (B, G) starts per item+tile."""
     del b
-    starts, _ = window_starts(m, n, window_width(n))
+    starts, _ = window_starts(m, n, window_width(n, w0))
     return jnp.asarray(starts, dtype=jnp.int32)
 
 
@@ -127,23 +133,25 @@ def _clip_round_starts(center: jnp.ndarray, n: int, s: int) -> jnp.ndarray:
     return (st // 128 * 128).astype(jnp.int32)
 
 
-def adaptive_down_starts(fps_idx: jnp.ndarray, n_support: int) -> jnp.ndarray:
+def adaptive_down_starts(fps_idx: jnp.ndarray, n_support: int,
+                         w0: int = 0) -> jnp.ndarray:
     """Window starts for cross-level queries (FPS level -> parent level):
     center each query tile's window on the tile's actual span of parent
     curve positions (fps_idx is sorted ascending). (B, M) -> (B, G)."""
     B, M = fps_idx.shape
-    _, s = window_starts(M, n_support, window_width(n_support))
+    _, s = window_starts(M, n_support, window_width(n_support, w0))
     lo = fps_idx[:, 0::TQ].astype(jnp.int32)          # (B, G)
     hi = fps_idx[:, TQ - 1::TQ].astype(jnp.int32)     # (B, G)
     return _clip_round_starts((lo + hi) // 2, n_support, s)
 
 
-def adaptive_up_starts(fps_idx: jnp.ndarray, m_fine: int) -> jnp.ndarray:
+def adaptive_up_starts(fps_idx: jnp.ndarray, m_fine: int,
+                       w0: int = 0) -> jnp.ndarray:
     """Window starts for parent-level queries over the coarse level (3-NN
     up-interpolation): center each fine tile's window on where its rows
     land in the coarse curve order (searchsorted into sorted fps_idx)."""
     B, n_coarse = fps_idx.shape
-    _, s = window_starts(m_fine, n_coarse, window_width(n_coarse))
+    _, s = window_starts(m_fine, n_coarse, window_width(n_coarse, w0))
     g = m_fine // TQ
     tile_centers = jnp.arange(g, dtype=jnp.int32) * TQ + TQ // 2   # (G,)
     center = jax.vmap(
@@ -161,13 +169,14 @@ def knn_supports(m: int, n: int, k: int) -> bool:
     )
 
 
-def gather_supports(m: int, n: int, c: int, k: int, itemsize: int) -> bool:
+def gather_supports(m: int, n: int, c: int, k: int, itemsize: int,
+                    w0: int = 0) -> bool:
     """Banded gather/scatter applicability. Valid either when the window
     covers the whole support (s == n: exact for any indices) or when the
     indices came from knn_banded with the same window geometry."""
     if m % TQ != 0 or n % 128 != 0 or n > 8192 or k >= 64:
         return False
-    _, s = window_starts(m, n, window_width(n))
+    _, s = window_starts(m, n, window_width(n, w0))
     x_bytes = n * c * itemsize
     onehot_bytes = TQ * k * s * itemsize
     out_bytes = TQ * k * c * itemsize
@@ -206,18 +215,19 @@ def _knn_kernel(k: int, s: int, starts_ref, q_ref, sT_ref, idx_ref, dist_ref):
         packed = jnp.where(packed == m, jnp.int32(0x7FFFFFFF), packed)
 
 
-@functools.partial(jax.jit, static_argnums=(2,))
+@functools.partial(jax.jit, static_argnums=(2, 4))
 def knn_banded(query: jnp.ndarray, support: jnp.ndarray, k: int,
-               starts: jnp.ndarray | None = None):
+               starts: jnp.ndarray | None = None, w0: int = 0):
     """(B, M, 3), (B, N, 3) -> absolute idx (B, M, k) int32, sqrt dist.
     Neighbors restricted to each tile's curve window. ``starts`` (B, G)
     overrides the proportional per-tile window starts (128-aligned, in
-    [0, N-S]) — the adaptive centering for cross-level queries."""
+    [0, N-S]) — the adaptive centering for cross-level queries. ``w0``:
+    window-width knob (0 = env/default policy)."""
     B, M, _ = query.shape
     N = support.shape[1]
-    w = window_width(N)
+    w = window_width(N, w0)
     _, s = window_starts(M, N, w)
-    starts_arr = _starts_array(B, M, N) if starts is None else starts
+    starts_arr = _starts_array(B, M, N, w0) if starts is None else starts
     q = query.astype(jnp.float32)
     sT = jnp.transpose(support, (0, 2, 1)).astype(jnp.float32)
 
@@ -295,10 +305,10 @@ def _scatter_kernel(K: int, s: int, starts_ref, idx_ref, g_ref, o_ref):
 
 
 def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray,
-                        starts_arr: jnp.ndarray) -> jnp.ndarray:
+                        starts_arr: jnp.ndarray, w0: int = 0) -> jnp.ndarray:
     B, N, C = x.shape
     _, M, K = idx.shape
-    _, s = window_starts(M, N, window_width(N))
+    _, s = window_starts(M, N, window_width(N, w0))
     out = pl.pallas_call(
         functools.partial(_gather_kernel, K, s),
         grid=(B, M // TQ),
@@ -318,9 +328,10 @@ def _gather_banded_impl(x: jnp.ndarray, idx: jnp.ndarray,
 
 
 def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray,
-                         starts_arr: jnp.ndarray, n: int) -> jnp.ndarray:
+                         starts_arr: jnp.ndarray, n: int,
+                         w0: int = 0) -> jnp.ndarray:
     B, M, K, C = g.shape
-    _, s = window_starts(M, n, window_width(n))
+    _, s = window_starts(M, n, window_width(n, w0))
     G = M // TQ
     # Scatter-add accumulates in f32 regardless of g.dtype: the per-tile
     # matmul partials and the overlapping-window fold sum many bf16 terms
@@ -344,7 +355,7 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray,
     if starts_arr.ndim == 1:
         # static proportional starts: fold with static dynamic-update adds
         # (the round-1 compiled path, unchanged)
-        starts, _ = window_starts(M, n, window_width(n))
+        starts, _ = window_starts(M, n, window_width(n, w0))
         dx = jnp.zeros((B, n, C), dtype=jnp.float32)
         for t, st in enumerate(starts):
             dx = dx.at[:, st: st + s, :].add(tiles[:, t])
@@ -373,23 +384,24 @@ def _scatter_banded_impl(g: jnp.ndarray, idx: jnp.ndarray,
 
 
 def gather_banded(x: jnp.ndarray, idx: jnp.ndarray,
-                  starts: jnp.ndarray | None = None) -> jnp.ndarray:
+                  starts: jnp.ndarray | None = None,
+                  w0: int = 0) -> jnp.ndarray:
     """(B, N, C), (B, M, K) int32 (window-local absolute indices) ->
     (B, M, K, C). Exact for indices produced by knn_banded with the SAME
-    ``starts``.
+    ``starts`` and ``w0``.
 
     INVARIANT: every index in row block t of item b must lie inside that
     tile's curve window [starts[b, t], starts[b, t] + S) for the *same*
-    (M, N) geometry (``window_starts(M, N, window_width(N))``; ``starts``
-    defaults to the proportional policy). Out-of-window indices silently
-    produce zero rows (the one-hot has no hit), so call sites must only
-    feed indices from ``knn_banded`` with matching shapes and starts —
+    (M, N, w0) geometry (``window_starts(M, N, window_width(N, w0))``;
+    ``starts`` defaults to the proportional policy). Out-of-window indices
+    silently produce zero rows (the one-hot has no hit), so call sites must
+    only feed indices from ``knn_banded`` with matching shapes/starts/w0 —
     or shapes where S == N (full window: exact for any indices).
     Set ``AM_BANDED_DEBUG=1`` to assert containment on concrete (eager /
     interpret-mode) calls — a host-side test/debug check; traced calls
     skip it."""
     if starts is None:
-        starts = _starts_array(x.shape[0], idx.shape[1], x.shape[1])
+        starts = _starts_array(x.shape[0], idx.shape[1], x.shape[1], w0)
     if (
         _os.environ.get("AM_BANDED_DEBUG", "") == "1"
         and not isinstance(idx, jax.core.Tracer)
@@ -399,28 +411,28 @@ def gather_banded(x: jnp.ndarray, idx: jnp.ndarray,
 
         _, M, K = idx.shape
         N = x.shape[1]
-        _, s = window_starts(M, N, window_width(N))
+        _, s = window_starts(M, N, window_width(N, w0))
         st2 = _np.atleast_2d(_np.asarray(starts, dtype=_np.int32))
         rel = _np.asarray(idx) - _np.repeat(st2, TQ, axis=1)[:, :, None]
         assert bool(((rel >= 0) & (rel < s)).all()), (
             "gather_banded: index outside its curve window "
             f"(M={M}, N={N}, S={s})"
         )
-    return _gather_banded_vjp(x, idx, starts)
+    return _gather_banded_vjp(x, idx, starts, w0)
 
 
-@jax.custom_vjp
-def _gather_banded_vjp(x, idx, starts):
-    return _gather_banded_impl(x, idx, starts)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _gather_banded_vjp(x, idx, starts, w0):
+    return _gather_banded_impl(x, idx, starts, w0)
 
 
-def _gather_banded_fwd(x, idx, starts):
-    return _gather_banded_impl(x, idx, starts), (idx, starts, x.shape[1])
+def _gather_banded_fwd(x, idx, starts, w0):
+    return _gather_banded_impl(x, idx, starts, w0), (idx, starts, x.shape[1])
 
 
-def _gather_banded_bwd(res, g):
+def _gather_banded_bwd(w0, res, g):
     idx, starts, n = res
-    return _scatter_banded_impl(g, idx, starts, n), None, None
+    return _scatter_banded_impl(g, idx, starts, n, w0), None, None
 
 
 _gather_banded_vjp.defvjp(_gather_banded_fwd, _gather_banded_bwd)

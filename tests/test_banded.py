@@ -90,9 +90,9 @@ def test_hierarchy_uses_windowed_knn_when_requested(sorted_cloud, monkeypatch):
     calls = {}
     real = banded.knn_banded
 
-    def spy(q, s, k, starts=None):
+    def spy(q, s, k, starts=None, w0=0):
         calls["hit"] = True
-        return real(q, s, k, starts)
+        return real(q, s, k, starts, w0)
 
     monkeypatch.setattr(banded, "available", lambda: True)
     monkeypatch.setattr(banded, "knn_banded", spy)
@@ -251,7 +251,7 @@ def test_hierarchy_attaches_adaptive_starts(skewed_cloud, monkeypatch):
     from afford_motion_tpu.ops import hierarchy as H
 
     monkeypatch.setattr(banded, "available", lambda: True)
-    monkeypatch.setattr(banded, "ADAPTIVE", True)
+    monkeypatch.delenv("AM_BANDED_ADAPTIVE", raising=False)  # default ON
     p = jnp.asarray(skewed_cloud)
     levels = H.build_point_hierarchy(p, (1, 4), (8, 16), banded=True)
     l1 = levels[1]
@@ -274,3 +274,50 @@ def test_hierarchy_attaches_adaptive_starts(skewed_cloud, monkeypatch):
     np.testing.assert_array_equal(
         np.asarray(rebuilt[1].up_starts), np.asarray(l1.up_starts)
     )
+
+
+@pytest.mark.quick
+def test_window_knob_resolution_and_threading(monkeypatch):
+    """Round-4 config promotion (VERDICT r3 #5): the W0 width and adaptive
+    toggles are model-config values threaded to the kernels; AM_BANDED_*
+    env vars are DEBUG overrides that win when set."""
+    monkeypatch.delenv("AM_BANDED_WINDOW", raising=False)
+    monkeypatch.delenv("AM_BANDED_ADAPTIVE", raising=False)
+    assert banded.resolve_window(0) == 128          # shipped default
+    assert banded.resolve_window(256) == 256        # config value
+    assert banded.resolve_window(300) == 256        # rounded to 128-multiple
+    assert banded.resolve_adaptive(None) is True
+    assert banded.resolve_adaptive(False) is False
+    monkeypatch.setenv("AM_BANDED_WINDOW", "512")
+    monkeypatch.setenv("AM_BANDED_ADAPTIVE", "0")
+    assert banded.resolve_window(256) == 512        # env override wins
+    assert banded.resolve_adaptive(True) is False
+    monkeypatch.delenv("AM_BANDED_WINDOW")
+    monkeypatch.delenv("AM_BANDED_ADAPTIVE")
+    # width policy scales with support size, clamped to W0
+    assert banded.window_width(8192, 256) == 256
+    assert banded.window_width(8192, 512) == 512
+    assert banded.window_width(2048, 512) == 128    # (2048/16)//128*128
+
+
+@pytest.mark.quick
+def test_window_knob_reaches_level_geometry(monkeypatch):
+    """model.banded_window flows through build_point_hierarchy into the
+    LevelGeometry static field (gathers must reuse the build-time width)."""
+    monkeypatch.delenv("AM_BANDED_WINDOW", raising=False)
+    from afford_motion_tpu.ops.hierarchy import build_point_hierarchy
+
+    rng = np.random.default_rng(3)
+    pts = rng.normal(size=(1, 512, 3)).astype(np.float32)
+    pts = np.stack([p[morton_order(p)] for p in pts])
+    levels = build_point_hierarchy(
+        jnp.asarray(pts), (1, 4), (8, 8), with_up=False, banded=True,
+        window=256,
+    )
+    assert all(lvl.window == 256 for lvl in levels)
+    # different window => different static key => retrace (no cache mixups)
+    levels2 = build_point_hierarchy(
+        jnp.asarray(pts), (1, 4), (8, 8), with_up=False, banded=True,
+        window=512,
+    )
+    assert all(lvl.window == 512 for lvl in levels2)
