@@ -101,10 +101,13 @@ def _fps_batched_kernel(num_samples: int, xc_ref, yc_ref, zc_ref, out_ref):
     out_ref[:] = sel
 
 
-# ~10 MB of (Bc, N) f32 working planes (coords x3, min_d, d, onehot, iota,
-# headroom) keeps the kernel comfortably inside the ~16 MB VMEM budget
+# ~10 MB of (Bc, N) f32/int32 working planes keeps the kernel comfortably
+# inside the ~16 MB VMEM budget. The batched kernel's live planes are
+# xc/yc/zc (in+reg copies count once each), dx/dy/dz, d, min_d, onehot,
+# in_cols, plus the (B, M) sel/out buffers — counted at 12 so chunk sizes
+# at the computed bound stay under budget (advisor r3: 8 undercounted).
 _VMEM_BUDGET_BYTES = 10 * 1024 * 1024
-_PLANES = 8
+_PLANES = 12
 
 
 @functools.partial(jax.jit, static_argnums=(1,))

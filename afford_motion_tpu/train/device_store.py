@@ -105,7 +105,9 @@ def _draw_flags(chain, j, captions, flags):
 class DeviceStore:
     """Host-side description + device arrays of the resident corpus."""
 
-    def __init__(self, arrays: Dict[str, jnp.ndarray], meta: Dict[str, Any]):
+    def __init__(self, arrays: Dict[str, Any], meta: Dict[str, Any]):
+        # arrays stay HOST numpy until ensure_device()/shard_over_mesh() —
+        # sharded uploads must never stage the full corpus on one device
         self.arrays = arrays
         self.meta = meta
         # corpus sharding over the mesh data axis (shard_over_mesh):
@@ -115,6 +117,21 @@ class DeviceStore:
         self._sharded_keys: set = set()
 
     # ---------------------------------------------------- mesh distribution
+    def ensure_device(self, mesh=None) -> None:
+        """Upload any still-host arrays (replicated over ``mesh`` when
+        given, default device otherwise). No-op for arrays already on
+        device — safe to call after shard_over_mesh."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sharding = NamedSharding(mesh, P()) if mesh is not None else None
+        for k, v in self.arrays.items():
+            if isinstance(v, np.ndarray):
+                self.arrays[k] = (
+                    jax.device_put(v, sharding) if sharding is not None
+                    else jnp.asarray(v)
+                )
+        jax.block_until_ready(list(self.arrays.values()))
+
     def shard_over_mesh(self, mesh, axis: str = "data",
                         min_bytes: int = 1 << 20) -> None:
         """Distribute the corpus rows over the mesh data axis.
@@ -127,21 +144,29 @@ class DeviceStore:
         (~B rows, negligible next to the step compute). Corpus capacity
         becomes the AGGREGATE mesh HBM instead of one device's budget.
 
-        Small per-item index arrays (< 1MB, e.g. ``scene_row``) stay
-        replicated. Row counts are zero-padded to a multiple of the mesh
-        size; the pad rows are never addressed (indices come from the real
-        item/scene tables)."""
+        Host-staged upload: arrays still on the host are padded in numpy
+        and ``device_put`` straight to their target NamedSharding, so a
+        corpus larger than ONE device's HBM (but inside the aggregate
+        budget) never transits a single device. Small per-item index
+        arrays (< 1MB, e.g. ``scene_row``) stay replicated. Row counts are
+        zero-padded to a multiple of the mesh axis size; the pad rows are
+        never addressed (indices come from the real item/scene tables)."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        n_dev = int(np.prod(list(mesh.shape.values())))
+        # rows are owned per ``axis`` rank (fetch uses axis_index(axis)),
+        # so the shard count is that axis's size — NOT the whole-mesh
+        # device product (they differ on any multi-axis mesh)
+        n_dev = int(mesh.shape[axis])
         out = {}
         for k, v in self.arrays.items():
             if n_dev > 1 and v.ndim >= 1 and v.nbytes > min_bytes:
                 pad = (-v.shape[0]) % n_dev
                 if pad:
-                    v = jnp.concatenate(
-                        [v, jnp.zeros((pad,) + v.shape[1:], v.dtype)], axis=0
+                    cat = np.concatenate if isinstance(v, np.ndarray) else jnp.concatenate
+                    zeros = (np.zeros if isinstance(v, np.ndarray) else jnp.zeros)(
+                        (pad,) + v.shape[1:], v.dtype
                     )
+                    v = cat([v, zeros], axis=0)
                 out[k] = jax.device_put(v, NamedSharding(mesh, P(axis)))
                 self._sharded_keys.add(k)
             else:
@@ -173,7 +198,7 @@ class DeviceStore:
         from jax.sharding import PartitionSpec as P
 
         mesh, axis = self._mesh, self._axis
-        n_dev = int(np.prod(list(mesh.shape.values())))
+        n_dev = int(mesh.shape[axis])
         n_local = A.shape[0] // n_dev
         # 16-bit payloads ride the collective at 32-bit (psum support);
         # values pass through a single owner so the round-trip is exact
@@ -292,11 +317,10 @@ class DeviceStore:
             return None
 
         logger.info(
-            f"device store: uploading {total / 1e9:.2f}GB "
-            f"({len(names)} motions, {host['xyz16'].shape[0]} scenes) to HBM"
+            f"device store: staging {total / 1e9:.2f}GB "
+            f"({len(names)} motions, {host['xyz16'].shape[0]} scenes) for HBM "
+            "upload"
         )
-        arrays = {k: jnp.asarray(v) for k, v in host.items()}
-        jax.block_until_ready(list(arrays.values()))
         meta = {
             "kind": "h3d",
             "n_items": len(names),
@@ -309,7 +333,7 @@ class DeviceStore:
             and bool(getattr(dataset, "pred_contact_dict", None)),
             "flag_chain": flag_chain,
         }
-        return cls(arrays, meta)
+        return cls(host, meta)
 
     @classmethod
     def _try_build_motionx(cls, dataset, max_bytes: int) -> Optional["DeviceStore"]:
@@ -389,11 +413,9 @@ class DeviceStore:
             )
             return None
         logger.info(
-            f"device store: uploading {total / 1e9:.2f}GB "
-            f"({len(rows)} items over {sets}) to HBM"
+            f"device store: staging {total / 1e9:.2f}GB "
+            f"({len(rows)} items over {sets}) for HBM upload"
         )
-        arrays = {k: jnp.asarray(v) for k, v in host.items()}
-        jax.block_until_ready(list(arrays.values()))
         meta = {
             "kind": "motionx",
             "item_store_row": np.asarray(rows, dtype=np.int32),
@@ -407,7 +429,7 @@ class DeviceStore:
             "std": np.asarray(dataset.std, dtype=np.float32),
             "mix": float(dataset.cfg.get("mix_train_ratio", 0.0) or 0.0) > 0,
         }
-        return cls(arrays, meta)
+        return cls(host, meta)
 
     # ---------------------------------------------------- geometry cache
     def add_geometry_cache(self, model, max_bytes: int = MAX_BYTES,
@@ -453,6 +475,8 @@ class DeviceStore:
 
         banded = bool(getattr(model, "use_banded", False))
         knn_method = "exact" if getattr(model, "knn_exact", False) else None
+        window = int(getattr(model, "banded_window", 0) or 0)
+        adaptive = getattr(model, "banded_adaptive", None)
         xyz = self.arrays["xyz16"]
         n_sc = xyz.shape[0]
 
@@ -474,6 +498,7 @@ class DeviceStore:
                 levels = build_point_hierarchy_from_fps(
                     xc.astype(jnp.float32), fps, _s, _n, prefix=_p,
                     with_up=_u, banded=banded, knn_method=knn_method,
+                    window=window, adaptive=adaptive,
                 )
                 return geometry_to_arrays(levels, prefix=_p)
 
@@ -551,9 +576,9 @@ class DeviceStore:
             + (f"; {dropped} shallow-level fields rebuilt in-step "
                "(budget)" if dropped else "")
         )
-        for k, v in kept.items():
-            self.arrays[k] = jnp.asarray(v)
-        jax.block_until_ready([self.arrays[k] for k in kept])
+        # host-staged like the corpus itself: ensure_device/shard_over_mesh
+        # move the cache to HBM with the corpus (no single-device staging)
+        self.arrays.update(kept)
         return True
 
     # ------------------------------------------------------------ host side
@@ -686,7 +711,10 @@ def index_stream(n_items: int, G: int, B: int, start_step: int,
 def make_assemble_fn(store: DeviceStore):
     """(index batch) -> (x, cond), executed inside the jitted train step.
     The store arrays are captured device residents — jit treats them as
-    constants-by-reference (no per-step transfer)."""
+    constants-by-reference (no per-step transfer). Host-staged stores are
+    uploaded (replicated, default device) here if the caller hasn't already
+    distributed them via shard_over_mesh/ensure_device."""
+    store.ensure_device()
     if store.meta["kind"] == "motionx":
         return _make_assemble_motionx(store)
     if store.meta["kind"].endswith("_contact"):
@@ -815,12 +843,10 @@ def _finish_contact_store(cls_, host, meta, max_bytes):
         )
         return None
     logger.info(
-        f"device store: uploading {total / 1e9:.2f}GB "
-        f"({meta['n_items']} stage-1 items) to HBM"
+        f"device store: staging {total / 1e9:.2f}GB "
+        f"({meta['n_items']} stage-1 items) for HBM upload"
     )
-    arrays = {k: jnp.asarray(v) for k, v in host.items()}
-    jax.block_until_ready(list(arrays.values()))
-    return cls_(arrays, meta)
+    return cls_(host, meta)
 
 
 def _build_h3d_contact(cls_, dataset, max_bytes):

@@ -218,10 +218,13 @@ class TrainLoop:
                 # kernels the in-step rebuild would use — numerics
                 # unchanged, ~14% of the step saved; device_store.py)
                 store.add_geometry_cache(self.model, max_bytes=budget)
+                # host-staged upload: sharded arrays go straight to their
+                # target NamedSharding (never staging the full corpus on
+                # one device — the aggregate-HBM budget is honest)
                 if do_shard:
                     store.shard_over_mesh(self.mesh)
                 else:
-                    store.arrays = replicate(store.arrays, self.mesh)
+                    store.ensure_device(self.mesh)
                 self._dstore = store
                 self._assemble = make_assemble_fn(store)
 

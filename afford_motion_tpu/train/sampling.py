@@ -54,6 +54,15 @@ def make_sample_fn(
             )
 
         if sampler == "ddim":
+            if noise_seq is not None:
+                # the parity hook (task.test.noise_inject_seed) is a DDPM
+                # stream contract; a ddim chain with eta>0 would draw
+                # DIFFERENT noise and silently fail to match the reference
+                raise ValueError(
+                    "noise_seq parity injection is only supported for the "
+                    "ddpm sampler (ddim eta=0 draws no per-step noise; "
+                    "eta>0 would not consume the injected stream)"
+                )
             return diffusion.ddim_sample_loop(
                 model_fn, shape, rng, clip_denoised=clip_denoised, eta=eta,
                 noise=noise,

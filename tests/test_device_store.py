@@ -241,7 +241,7 @@ def test_train_cli_engages_device_store(tmp_path):
     ckpts = list((Path(out) / "dstore_e2e" / "ckpt").iterdir())
     assert ckpts, "no checkpoint written"
     log = (Path(out) / "dstore_e2e" / "log" / "runtime.log").read_text()
-    assert "device store: uploading" in log
+    assert "device store: staging" in log
 
 
 def test_flag_transforms_supported_and_rng_parity(store_env):
