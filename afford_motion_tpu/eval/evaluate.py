@@ -191,7 +191,13 @@ class Text2MotionInSceneEvaluator(Eval):
         self.njoints = int(cfg.evaluator.get("njoints", 22))
         self.opt_rate = float(cfg.evaluator.get("opt_rate", 0.02))
         self.opt_steps = int(cfg.evaluator.get("opt_steps", 200))
+        # batched-fit chunk: the 200-step Adam refinement runs ONCE over
+        # (fit_batch, L) padded batches for the whole sample list, instead
+        # of the reference's per-sequence Python loop (and its second
+        # refit when saving — reference evaluate.py:261-279 vs :306-334)
+        self.fit_batch = int(cfg.evaluator.get("fit_batch", 16))
         self._fitter = None
+        self._fit_cache: Optional[np.ndarray] = None
         weights = str(cfg.evaluator.get("joints_to_smplx_model_weights", ""))
         try:
             from .joints_to_smplx import JointsToSMPLXFitter
@@ -202,6 +208,21 @@ class Text2MotionInSceneEvaluator(Eval):
         except Exception as e:  # missing weights/body model
             logger.warning(f"SMPL-X fitting unavailable ({e}); physics metrics skipped")
 
+    def _fit_all(self, sample_list, dataloader) -> np.ndarray:
+        """One batched SMPL-X fit for the whole sample list: (n, L, 69).
+        All samples share the padded horizon L, so chunks of ``fit_batch``
+        sequences refine together in one jitted fori_loop each."""
+        joints = np.stack(
+            [dataloader.dataset.denormalize(s["sample"]) for s in sample_list]
+        )
+        masks = np.stack([np.asarray(s["x_mask"]) for s in sample_list])
+        out = []
+        for a in range(0, len(sample_list), self.fit_batch):
+            out.append(self._fitter.fit(
+                joints[a: a + self.fit_batch], masks[a: a + self.fit_batch]
+            ))
+        return np.concatenate(out, axis=0)
+
     def evaluate(self, sample_list, k_samples_list, save_dir, dataloader, **kwargs):
         for item in sample_list:
             self.metrics["_name"].append(f"{item['info_set']} - {item['info_index']}")
@@ -210,6 +231,11 @@ class Text2MotionInSceneEvaluator(Eval):
         wants_physics = any(
             m in self.eval_metrics for m in ("dist", "non_collision", "contact")
         )
+        if self._fitter is not None and sample_list and (
+            wants_physics or self.save_results
+        ):
+            self._fit_cache = self._fit_all(sample_list, dataloader)
+
         if wants_physics and self._fitter is not None:
             self.eval_physics(sample_list, dataloader)
         elif wants_physics:
@@ -224,7 +250,7 @@ class Text2MotionInSceneEvaluator(Eval):
         if self.save_results:
             out = os.path.join(save_dir, "joints")
             os.makedirs(out, exist_ok=True)
-            for sample in sample_list:
+            for i, sample in enumerate(sample_list):
                 joints = dataloader.dataset.denormalize(sample["sample"])
                 payload = {
                     "joints": joints[~sample["x_mask"]],
@@ -234,20 +260,21 @@ class Text2MotionInSceneEvaluator(Eval):
                     "scene_trans": sample["info_scene_trans"],
                     "scene_mesh": sample["info_scene_mesh"],
                 }
-                if self._fitter is not None:
-                    payload["params"] = self._fitter.fit(
-                        joints[None], sample["x_mask"][None]
-                    )[0]
+                if self._fit_cache is not None:
+                    payload["params"] = self._fit_cache[i]
                 with open(os.path.join(out, f"{sample['info_index']:05d}.pkl"), "wb") as f:
                     pickle.dump(payload, f)
+        self._fit_cache = None
 
     def eval_physics(self, sample_list, dataloader):
         """(reference: evaluate.py:336-371)."""
         faces = jnp.asarray(self._fitter.faces)
-        for sample in sample_list:
-            joints = dataloader.dataset.denormalize(sample["sample"])  # (L, J*3)
-            x_mask = sample["x_mask"]
-            verts = self._fitter.to_vertices(joints[None], x_mask[None])[0]  # (l, V, 3)
+        for i, sample in enumerate(sample_list):
+            x_mask = np.asarray(sample["x_mask"])
+            valid = ~x_mask
+            # LBS from the (single) batched fit — per sequence to bound the
+            # (L, V, 4, 4) skinning intermediates
+            verts = self._fitter.vertices(self._fit_cache[i])[valid]  # (l, V, 3)
             xyz = jnp.asarray(sample["c_pc_xyz"])
 
             if "non_collision" in self.eval_metrics or "contact" in self.eval_metrics:

@@ -41,9 +41,12 @@ MDM_OPT = dict(OURS_OPT, dim_pose=263, strip_last4=True)
 class EvaluatorWrapper:
     """(reference: evaluator_wrapper.py:220-287)."""
 
-    def __init__(self, ckpt_path: str, variant: str = "ours"):
+    def __init__(self, ckpt_path: str, variant: str = "ours", params=None):
         self.opt = dict(OURS_OPT if variant == "ours" else MDM_OPT)
-        self.params = load_t2m_checkpoint(ckpt_path)
+        # ``params``: pre-built parameter dicts (e.g. t2m_models.
+        # synthetic_t2m_params for shape-honest benches) bypass the torch
+        # checkpoint load
+        self.params = params if params is not None else load_t2m_checkpoint(ckpt_path)
         self._co = jax.jit(self._co_embeddings)
         self._mo = jax.jit(self._motion_embedding)
 

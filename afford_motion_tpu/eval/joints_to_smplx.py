@@ -199,14 +199,20 @@ class JointsToSMPLXFitter:
         pred = self._predict(self.params, joints, x_mask)
         return np.asarray(self._refine(pred, joints, x_mask))
 
+    def vertices(self, params: np.ndarray) -> np.ndarray:
+        """Fitted params (L, 69) -> body vertices (L, V, 3) via the jitted
+        LBS (one sequence per call keeps the (L, V, 4, 4) skinning
+        transforms small; fitting is the batched part)."""
+        verts, _ = params_to_verts_joints(
+            self.body_model, jnp.asarray(params, dtype=jnp.float32)
+        )
+        return np.asarray(verts)
+
     def to_vertices(self, joints: np.ndarray, x_mask: np.ndarray) -> np.ndarray:
         """(B, L, 66) -> list-like (B, l_valid?, V, 3); returns the padded
         (B, L, V, 3) array — callers mask with x_mask."""
         params = self.fit(joints, x_mask)
         B, L, _ = params.shape
-        verts, _ = params_to_verts_joints(
-            self.body_model, jnp.asarray(params.reshape(B * L, PARAM_DIM))
-        )
-        verts = np.asarray(verts).reshape(B, L, -1, 3)
+        verts = self.vertices(params.reshape(B * L, PARAM_DIM)).reshape(B, L, -1, 3)
         # trim to valid frames for the first sequence-style usage
         return [verts[b][~np.asarray(x_mask[b])] for b in range(B)]

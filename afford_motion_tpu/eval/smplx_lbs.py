@@ -83,8 +83,13 @@ class SMPLXModel:
         )
 
     @classmethod
-    def synthetic(cls, num_verts: int = 128, seed: int = 0) -> "SMPLXModel":
-        """Random small model with the real kinematic structure, for tests."""
+    def synthetic(cls, num_verts: int = 128, seed: int = 0,
+                  num_faces: Optional[int] = None) -> "SMPLXModel":
+        """Random model with the real kinematic structure, for tests — and,
+        at ``num_verts=10475, num_faces=20908`` (the official SMPL-X mesh
+        resolution), for shape-honest eval benchmarks without the gated
+        asset: every matmul/scatter in the LBS and SDF paths has the real
+        dimensions, only the values are random."""
         rng = np.random.default_rng(seed)
         # SMPL-X parent table (first 22 joints are the body; the rest hang
         # off wrists/neck)
@@ -102,7 +107,7 @@ class SMPLXModel:
         reg = reg / reg.sum(axis=1, keepdims=True)
         w = np.abs(rng.normal(size=(num_verts, J)).astype(np.float32))
         w = w / w.sum(axis=1, keepdims=True)
-        n_faces = max(num_verts, 4)
+        n_faces = num_faces if num_faces is not None else max(num_verts, 4)
         faces = rng.integers(0, num_verts, size=(n_faces, 3)).astype(np.int64)
         return cls(
             v_template=jnp.asarray(v_template),

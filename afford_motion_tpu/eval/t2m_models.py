@@ -125,6 +125,59 @@ def text_encoder(p: Dict, word_embs: jnp.ndarray, pos_ohot: jnp.ndarray,
     return _linear(p, "output_net.3", g)
 
 
+def synthetic_t2m_params(dim_pose: int = 263, strip_last4: bool = True,
+                         seed: int = 0) -> Dict[str, Dict[str, np.ndarray]]:
+    """Random parameter dicts with the REAL checkpoint key layout and dims
+    (finest.tar / the MDM T2M evaluator) — for shape-honest benchmarks and
+    tests without the gated asset: every conv/GRU/linear has the protocol's
+    dimensions, only the values are random. Protocol dims per
+    reference utils/eval/evaluator_wrapper.py:220-240 + modules.py."""
+    from .word_vectorizer import POS_enumerator
+
+    rng = np.random.default_rng(seed)
+
+    def W(*s):
+        return (rng.normal(size=s) * 0.02).astype(np.float32)
+
+    d_in = dim_pose - 4 if strip_last4 else dim_pose
+    hid_mov, lat_mov = 512, 512
+    movement = {
+        "main.0.weight": W(hid_mov, d_in, 4), "main.0.bias": W(hid_mov),
+        "main.3.weight": W(lat_mov, hid_mov, 4), "main.3.bias": W(lat_mov),
+        "out_net.weight": W(lat_mov, lat_mov), "out_net.bias": W(lat_mov),
+    }
+
+    def bigru(prefix_in: int, hid: int):
+        p = {}
+        for sfx in ("", "_reverse"):
+            p[f"gru.weight_ih_l0{sfx}"] = W(3 * hid, prefix_in)
+            p[f"gru.weight_hh_l0{sfx}"] = W(3 * hid, hid)
+            p[f"gru.bias_ih_l0{sfx}"] = W(3 * hid)
+            p[f"gru.bias_hh_l0{sfx}"] = W(3 * hid)
+        p["hidden"] = W(2, 1, hid)
+        return p
+
+    dim_word, dim_pos = 300, len(POS_enumerator)
+    hid_txt, hid_mot, coemb = 512, 1024, 512
+    text = {
+        "pos_emb.weight": W(dim_word, dim_pos), "pos_emb.bias": W(dim_word),
+        "input_emb.weight": W(hid_txt, dim_word), "input_emb.bias": W(hid_txt),
+        **bigru(hid_txt, hid_txt),
+        "output_net.0.weight": W(hid_txt, 2 * hid_txt), "output_net.0.bias": W(hid_txt),
+        "output_net.1.weight": W(hid_txt), "output_net.1.bias": W(hid_txt),
+        "output_net.3.weight": W(coemb, hid_txt), "output_net.3.bias": W(coemb),
+    }
+    motion = {
+        "input_emb.weight": W(hid_mot, lat_mov), "input_emb.bias": W(hid_mot),
+        **bigru(hid_mot, hid_mot),
+        "output_net.0.weight": W(hid_mot, 2 * hid_mot), "output_net.0.bias": W(hid_mot),
+        "output_net.1.weight": W(hid_mot), "output_net.1.bias": W(hid_mot),
+        "output_net.3.weight": W(coemb, hid_mot), "output_net.3.bias": W(coemb),
+    }
+    return {"movement_encoder": movement, "text_encoder": text,
+            "motion_encoder": motion}
+
+
 def load_t2m_checkpoint(path: str) -> Dict[str, Dict[str, np.ndarray]]:
     """Read the torch ``finest.tar`` and return numpy param dicts keyed
     'movement_encoder' / 'text_encoder' / 'motion_encoder'

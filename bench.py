@@ -497,6 +497,299 @@ def bench_sampler_ddim(baselines: dict) -> None:
     )
 
 
+# ------------------------------------------------------------- eval axes
+# (round 4, VERDICT r3 #1: the evaluation stack is the reference's single
+# most expensive surface — wo_mm ≈ 12 h / mm_short ≈ 15 h wall-clock
+# (reference h3d_eval/eval_h3d_offline.py:37-62) — and had never been
+# timed on chip. All three hot components are benched at the reference
+# protocol's exact shapes; gated assets are replaced by synthetic values
+# at the REAL dimensions (timing depends on shapes, not values).)
+
+def bench_eval_fit(baselines: dict) -> None:
+    """Joints->SMPL-X fit + 200-step Adam refinement at protocol shapes
+    (196 frames, lr 0.02, steps 200 — reference utils/misc.py:78-125 +
+    utils/evaluate.py:261-279, configs/task/contact_motion_gen.yaml:86-87).
+    The reference refines PER SEQUENCE in a Python loop; the rebuild
+    refines a whole (B, L) batch in one jitted fori_loop
+    (eval/joints_to_smplx.py make_refine_fn) — ``b1_seqs_per_sec`` is the
+    per-sequence layout for comparison. SMPL-X at the official mesh
+    resolution (V=10475, F=20908; synthetic values)."""
+    import jax
+    import jax.numpy as jnp
+
+    from afford_motion_tpu.eval.joints_to_smplx import (
+        JointsToSMPLXRegressor, make_refine_fn,
+    )
+    from afford_motion_tpu.eval.smplx_lbs import SMPLXModel
+
+    body = SMPLXModel.synthetic(num_verts=10475, num_faces=20908)
+    B, L = int(os.environ.get("BENCH_EVAL_FIT_B", 16)), 196
+    rng = np.random.default_rng(10)
+    reg = JointsToSMPLXRegressor()
+
+    def make_fit(b):
+        joints = jnp.asarray(rng.normal(size=(b, L, 66)).astype(np.float32) * 0.3)
+        x_mask = jnp.zeros((b, L), dtype=bool)
+        params = jax.jit(
+            lambda: reg.init(jax.random.PRNGKey(0), joints, x_mask, train=False)
+        )()
+        predict = jax.jit(lambda j, m: reg.apply(params, j, m, train=False))
+        refine = make_refine_fn(body, 0.02, 200)
+
+        def fit():
+            return refine(predict(joints, x_mask), joints, x_mask)
+
+        return fit
+
+    fit_b = make_fit(B)
+    out = fit_b()
+    _sync(out)
+    rates = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        out = fit_b()
+        _sync(out)
+        rates.append(B / (time.perf_counter() - t0))
+
+    fit_1 = make_fit(1)         # the reference's per-sequence layout
+    out = fit_1()
+    _sync(out)
+    t0 = time.perf_counter()
+    out = fit_1()
+    _sync(out)
+    b1_rate = 1.0 / (time.perf_counter() - t0)
+
+    _emit(
+        f"eval_smplx_fit_seqs_per_sec_b{B}_l196_s200", float(np.median(rates)),
+        "seqs/sec", baselines,
+        b1_seqs_per_sec=round(b1_rate, 4), spread=_spread(rates),
+    )
+
+
+def bench_eval_physics(baselines: dict) -> None:
+    """SDF physics (non_collision/contact) over one padded 196-frame
+    sequence at O=8192 scene points x V=10475 body verts (reference
+    utils/evaluate.py:436-520: per-frame torch pairwise distance with a
+    .cpu() sync per frame; here one jitted lax.map over the frames —
+    eval/physics.py physics_over_sequence)."""
+    import jax.numpy as jnp
+
+    from afford_motion_tpu.eval.physics import physics_over_sequence
+    from afford_motion_tpu.eval.smplx_lbs import SMPLXModel
+
+    body = SMPLXModel.synthetic(num_verts=10475, num_faces=20908)
+    rng = np.random.default_rng(11)
+    L = 196
+    points = jnp.asarray(rng.normal(size=(8192, 3)).astype(np.float32))
+    verts = jnp.asarray(rng.normal(size=(L, 10475, 3)).astype(np.float32))
+    faces = jnp.asarray(body.faces)
+
+    ncs, cts = physics_over_sequence(points, verts, faces)
+    _sync(ncs)
+    rates = []
+    for _ in range(REPS):
+        t0 = time.perf_counter()
+        ncs, cts = physics_over_sequence(points, verts, faces)
+        _sync(ncs)
+        rates.append(1.0 / (time.perf_counter() - t0))
+    _emit(
+        "eval_sdf_physics_seqs_per_sec_o8192_v10475_l196",
+        float(np.median(rates)), "seqs/sec", baselines, spread=_spread(rates),
+    )
+
+
+def bench_eval_humanml(baselines: dict) -> None:
+    """The HumanML3D metric stack at the offline protocol scale
+    (reference utils/eval/eval_humanml.py:106-161 + h3d_eval protocol:
+    batch 32, 1000 generated samples, full GT test pool, dim_pose=263,
+    R-precision/Matching/FID/Diversity): co-embedding extraction for both
+    pools, a second GT motion-embedding pass for FID, and the host-side
+    FID sqrtm. One emitted rate = protocol replications/hour (the offline
+    eval runs 1 replication in its quoted 12 h)."""
+    import jax.numpy as jnp
+
+    from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+    from afford_motion_tpu.eval.metrics import (
+        calculate_activation_statistics, calculate_diversity,
+        calculate_frechet_distance, calculate_top_k,
+        euclidean_distance_matrix,
+    )
+    from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
+
+    wrapper = EvaluatorWrapper(None, variant="mdm",
+                               params=synthetic_t2m_params())
+    rng = np.random.default_rng(12)
+    BATCH32 = 32
+    n_gen = int(os.environ.get("BENCH_EVAL_POOL", 1000))
+    n_gt = int(os.environ.get("BENCH_EVAL_GT_POOL", 4384))  # H3D test split
+
+    def pool(n):
+        return {
+            "word_embs": rng.normal(size=(n, 22, 300)).astype(np.float32),
+            "pos_ohot": rng.normal(size=(n, 22, 15)).astype(np.float32),
+            "cap_lens": rng.integers(5, 22, size=(n,)).astype(np.int32),
+            "motions": rng.normal(size=(n, 196, 263)).astype(np.float32),
+            "m_lens": (rng.integers(10, 50, size=(n,)) * 4).astype(np.int32),
+        }
+
+    gt, gen = pool(n_gt), pool(n_gen)
+
+    def run_once():
+        acts = {}
+        for name, p in (("gt", gt), ("vald", gen)):
+            embs, score, topk, size = [], 0.0, np.zeros(3), 0
+            for a in range(0, len(p["m_lens"]) // BATCH32 * BATCH32, BATCH32):
+                sl = slice(a, a + BATCH32)
+                te, me = wrapper.get_co_embeddings(
+                    p["word_embs"][sl], p["pos_ohot"][sl], p["cap_lens"][sl],
+                    p["motions"][sl], p["m_lens"][sl],
+                )
+                dist = euclidean_distance_matrix(te, me)
+                score += dist.trace()
+                topk += calculate_top_k(np.argsort(dist, axis=1), 3).sum(axis=0)
+                size += BATCH32
+                embs.append(me)
+            acts[name] = np.concatenate(embs, axis=0)
+        # FID: a second GT motion-embedding pass (protocol shape)
+        gt_emb = []
+        for a in range(0, n_gt // BATCH32 * BATCH32, BATCH32):
+            sl = slice(a, a + BATCH32)
+            gt_emb.append(wrapper.get_motion_embeddings(
+                gt["motions"][sl], gt["m_lens"][sl]))
+        mu_g, cov_g = calculate_activation_statistics(np.concatenate(gt_emb, 0))
+        mu_v, cov_v = calculate_activation_statistics(acts["vald"])
+        fid = calculate_frechet_distance(mu_g, cov_g, mu_v, cov_v)
+        div = calculate_diversity(
+            acts["vald"], min(300, acts["vald"].shape[0] - 1)
+        )
+        return fid, div
+
+    run_once()  # compile + warm
+    reps = max(1, int(os.environ.get("BENCH_EVAL_HUMANML_REPS", 2)))
+    rates = []
+    for _ in range(reps):
+        t0 = time.perf_counter()
+        run_once()
+        rates.append(3600.0 / (time.perf_counter() - t0))
+    _emit(
+        f"eval_humanml_stack_reps_per_hour_n{n_gen}_gt{n_gt}",
+        float(np.median(rates)), "replications/hour", baselines,
+        wallclock_s=round(3600.0 / float(np.median(rates)), 2),
+        spread=_spread(rates),
+    )
+
+
+def bench_two_stage(baselines: dict) -> None:
+    """Chained two-stage serving: text -> CDM contact sampling -> the
+    reference's ``pred_contact/*.npy`` file handoff -> CMDM ddim50 ->
+    motions (VERDICT r3 #3; reference test.py:94-101 +
+    utils/evaluate.py:203-223 + datasets/motionx.py:887-890). One measured
+    end-to-end number INCLUDING the handoff I/O, at batch 32 on one shared
+    scene cloud batch. Stage 1 runs the reference protocol's full t500
+    chain; ``fast_variant_motions_per_sec`` swaps stage 1 to ddim50."""
+    import tempfile
+
+    import jax
+    import jax.numpy as jnp
+
+    from afford_motion_tpu.diffusion import create_gaussian_diffusion
+    from afford_motion_tpu.models.conditioning import add_hierarchies
+    from afford_motion_tpu.train.sampling import make_sample_fn
+    from afford_motion_tpu.utils.config import DictConfig
+
+    B, N = 32, NUM_POINTS
+    sigma = 0.8
+    rng = np.random.default_rng(13)
+
+    # ---- stage 1: CDM-Perceiver (t500 = the reference stage-1 protocol)
+    cdm = _make_cdm(DTYPE)
+    x1, cond1 = _cdm_batch(rng, B, N)
+    cond1_h = add_hierarchies(cdm, cond1)
+    t0s = jnp.zeros((B,), dtype=jnp.int32)
+    vars1 = jax.jit(
+        lambda: cdm.init({"params": jax.random.PRNGKey(0)}, x1, t0s, cond1_h,
+                         train=False)
+    )()
+    sample_cdm = {
+        "t500": make_sample_fn(cdm, _diffusion(500), clip_denoised=False),
+        "ddim50": make_sample_fn(
+            cdm,
+            create_gaussian_diffusion(DictConfig({
+                "predict_xstart": True, "steps": 500,
+                "noise_schedule": "cosine", "timestep_respacing": "ddim50",
+                "loss_type": "MSE", "learn_sigma": False, "sigma_small": True,
+            })),
+            clip_denoised=False, sampler="ddim",
+        ),
+    }
+
+    # ---- stage 2: CMDM ddim50 on the SAME scene clouds
+    cmdm = _make_cmdm(DTYPE)
+    diff2 = create_gaussian_diffusion(DictConfig({
+        "predict_xstart": True, "steps": 1000, "noise_schedule": "cosine",
+        "timestep_respacing": "ddim50", "loss_type": "MSE",
+        "learn_sigma": False, "sigma_small": True,
+    }))
+    cond2 = {
+        "text_emb": cond1["text_emb"],
+        "c_pc_xyz": cond1["c_pc_xyz"],
+        "c_pc_contact": jnp.zeros((B, N, 6), jnp.float32),
+        "x_mask": jnp.zeros((B, 196), dtype=bool),
+    }
+    cond2_h = add_hierarchies(cmdm, cond2)
+    x2 = jnp.zeros((B, 196, 263), jnp.float32)
+    vars2 = jax.jit(
+        lambda: cmdm.init({"params": jax.random.PRNGKey(1)}, x2,
+                          jnp.zeros((B,), jnp.int32), cond2_h, train=False)
+    )()
+    sample_cmdm = make_sample_fn(cmdm, diff2, clip_denoised=False,
+                                 sampler="ddim")
+
+    def chain(variant, key, out_dir):
+        t_a = time.perf_counter()
+        contact = sample_cdm[variant](vars1, (B, N, 6), cond1, key)
+        contact_np = np.asarray(contact, dtype=np.float32)
+        t_b = time.perf_counter()
+        # the reference handoff: contact -> dist -> per-item npy files
+        # (evaluate.py:203-223), read back by the stage-2 dataset
+        # (motionx.py:887-890) which re-applies the sigma kernel
+        c = np.clip(contact_np, 1e-6, 1.0)
+        dist = np.sqrt(np.maximum(-2.0 * sigma * sigma * np.log(c), 0.0))
+        paths = []
+        for i in range(B):
+            p = os.path.join(out_dir, f"{i:05d}.npy")
+            np.save(p, dist[i][None])
+            paths.append(p)
+        loaded = np.stack([np.load(p)[0] for p in paths])
+        contact_in = np.exp(-0.5 * loaded ** 2 / sigma ** 2).astype(np.float32)
+        t_c = time.perf_counter()
+        cond2_live = dict(cond2)
+        cond2_live["c_pc_contact"] = jnp.asarray(contact_in)
+        motions = sample_cmdm(vars2, (B, 196, 263), cond2_live,
+                              jax.random.fold_in(key, 7))
+        _sync(motions)
+        t_d = time.perf_counter()
+        return t_b - t_a, t_c - t_b, t_d - t_c
+
+    with tempfile.TemporaryDirectory() as td:
+        chain("t500", jax.random.PRNGKey(0), td)      # compile + warm
+        chain("ddim50", jax.random.PRNGKey(0), td)
+        rates, parts = [], None
+        for i in range(REPS):
+            s1, io, s2 = chain("t500", jax.random.PRNGKey(i + 1), td)
+            rates.append(B / (s1 + io + s2))
+            parts = (s1, io, s2)
+        f1, fio, f2 = chain("ddim50", jax.random.PRNGKey(99), td)
+    _emit(
+        "two_stage_text_to_motion_motions_per_sec_b32", float(np.median(rates)),
+        "motions/sec", baselines,
+        stage1_t500_s=round(parts[0], 3), handoff_io_s=round(parts[1], 3),
+        stage2_ddim50_s=round(parts[2], 3),
+        fast_variant_motions_per_sec=round(B / (f1 + fio + f2), 2),
+        spread=_spread(rates),
+    )
+
+
 def _probe_backend(timeout_s: int = 180) -> None:
     """Fail fast (clear one-line error) if device enumeration hangs.
 
@@ -538,6 +831,10 @@ def main() -> None:
         "sampler": bench_sampler,
         "sampler_cdm": bench_sampler_cdm,
         "ddim": bench_sampler_ddim,
+        "eval_fit": bench_eval_fit,
+        "eval_physics": bench_eval_physics,
+        "eval_humanml": bench_eval_humanml,
+        "two_stage": bench_two_stage,
     }
     if only:
         for name in only:
@@ -549,6 +846,11 @@ def main() -> None:
         bench_sampler(baselines)
         bench_sampler_cdm(baselines)
         bench_sampler_ddim(baselines)
+        # round-4 axes: evaluation stack + chained two-stage serving
+        bench_eval_fit(baselines)
+        bench_eval_physics(baselines)
+        bench_eval_humanml(baselines)
+        bench_two_stage(baselines)
 
 
 if __name__ == "__main__":

@@ -114,6 +114,21 @@ def test_gather_banded_compiled_adaptive_starts(sorted_cloud):
     np.testing.assert_allclose(np.asarray(gb), np.asarray(gr), atol=1e-3, rtol=1e-4)
 
 
+def test_gather_banded_compiled_f32_bitexact(sorted_cloud):
+    """The round-3 ``_dot_precision`` fix, pinned: an f32 one-hot SELECTION
+    matmul must return the gathered rows BIT-exactly (MXU default precision
+    silently rounded f32 operands to bf16 — the bug this tier caught). The
+    f32+use_banded combination is PARITY.md's documented 'exact restore'
+    flag set, so equality here is assert_array_equal, not allclose."""
+    q = jnp.asarray(sorted_cloud)
+    idx, _ = banded.knn_banded(q, q, 8)
+    rng = np.random.default_rng(5)
+    x = jnp.asarray(rng.normal(size=(2, 2048, 12)).astype(np.float32))
+    got = np.asarray(banded.gather_banded(x, idx))
+    ref = np.asarray(jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx))
+    np.testing.assert_array_equal(got, ref)
+
+
 def test_gather_rows_compiled():
     """The row-copy-loop gather kernel (non-banded fallback) compiled."""
     rng = np.random.default_rng(3)

@@ -14,6 +14,11 @@ run() {
   echo "    rc=$? ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
 }
 
+# 0. compiled-kernel equality tier (STANDARD GATE since round 4 — proves
+#    the COMPILED Mosaic kernels on the real chip, incl. the f32
+#    bit-exactness of the banded gather; found the r3 precision bug)
+run tests_tpu python -m pytest tests_tpu/ -q
+
 # 1. new-protocol full bench: spread on every metric + first ddim50 number
 run bench_full python bench.py
 
