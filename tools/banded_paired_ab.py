@@ -35,7 +35,7 @@ import pickle
 import re
 import sys
 from pathlib import Path
-from typing import Dict, List, Sequence
+from typing import Dict, List, Optional, Sequence
 
 import numpy as np
 
@@ -127,7 +127,9 @@ def _parse_losses(log_path: Path) -> List[float]:
 
 def run_paired_ab(root: str, *, num_points: int = 8192, n_items: int = 8,
                   train_steps: int = 8, diffusion_steps: int = 8,
-                  repeats: int = 5, curve: str = "hilbert") -> Dict:
+                  repeats: int = 5, curve: str = "hilbert",
+                  legs: Optional[Dict[str, List[str]]] = None,
+                  train_parity: bool = True) -> Dict:
     from afford_motion_tpu.data.synthetic import make_synthetic_data_dir
     import test as test_entry
     import train as train_entry
@@ -154,13 +156,21 @@ def run_paired_ab(root: str, *, num_points: int = 8192, n_items: int = 8,
     train_entry.main(cmdm + ["model.dtype=float32", "model.knn_exact=true",
                              "model.use_banded=false"])
 
-    # legs x paired seeds over the SAME checkpoint
+    # legs x paired seeds over the SAME checkpoint. ``seed`` drives the
+    # sampling PRNGKey; ``shuffle_seed`` is pinned to the training seed so
+    # the test-case set (and therefore the stage-1 pred_contact handoff
+    # coverage) is IDENTICAL for every seed and leg — the config default
+    # is shuffle_seed=${seed}, which would silently evaluate different
+    # cases per repeat and break both the handoff and the pairing.
+    legs = dict(legs) if legs else dict(LEGS)
+    assert "full" in legs, "the paired design needs the full-kNN leg"
     runs: Dict[str, Dict[int, Dict]] = {}
-    for leg, ov in LEGS.items():
+    for leg, ov in legs.items():
         runs[leg] = {}
         for r in range(repeats):
             seed = 31000 + r
-            test_entry.main(cmdm + list(ov) + [f"seed={seed}"])
+            test_entry.main(cmdm + list(ov) + [
+                f"seed={seed}", "task.dataset.shuffle_seed=2023"])
             runs[leg][seed] = _collect_run(
                 _latest_eval_dir(str(Path(out_dir, "pab_cmdm"))))
             print(f"[pab] leg={leg} seed={seed} "
@@ -171,7 +181,7 @@ def run_paired_ab(root: str, *, num_points: int = 8192, n_items: int = 8,
         "num_points": num_points, "repeats": repeats, "curve": curve,
         "train_steps": train_steps, "diffusion_steps": diffusion_steps,
     }}
-    for leg in LEGS:
+    for leg in legs:
         apds = [_apd(runs[leg][s]["metrics"]) for s in seeds]
         report["legs"][leg] = {"apd": _ci95(apds), "apd_per_seed": apds}
         if leg == "full":
@@ -193,7 +203,9 @@ def run_paired_ab(root: str, *, num_points: int = 8192, n_items: int = 8,
 
     # ---- train-side loss-curve parity (same init + data order)
     losses = {}
-    for leg, ov in (("full", LEGS["full"]), (SHIPPED, LEGS[SHIPPED])):
+    shipped = SHIPPED if SHIPPED in legs else next(l for l in legs if l != "full")
+    for leg, ov in (() if not train_parity else
+                    (("full", legs["full"]), (shipped, legs[shipped]))):
         exp = f"pab_train_{leg}"
         baset = _common(data_dir, out_dir, exp, num_points,
                         max(train_steps, 8), diffusion_steps)
@@ -203,15 +215,16 @@ def run_paired_ab(root: str, *, num_points: int = 8192, n_items: int = 8,
         train_entry.main(ovr + list(ov) + ["task.train.log_every_step=1",
                                            "task.train.steps_per_dispatch=1"])
         losses[leg] = _parse_losses(Path(out_dir, exp, "log", "runtime.log"))
-    n = min(len(losses["full"]), len(losses[SHIPPED]))
-    if n:
-        a = np.asarray(losses["full"][:n])
-        b = np.asarray(losses[SHIPPED][:n])
-        report["train_loss_parity"] = {
-            "steps": n,
-            "max_rel_divergence": float(np.max(np.abs(a - b) / (np.abs(a) + 1e-9))),
-            "full": a.tolist(), SHIPPED: b.tolist(),
-        }
+    if losses:
+        n = min(len(losses["full"]), len(losses[shipped]))
+        if n:
+            a = np.asarray(losses["full"][:n])
+            b = np.asarray(losses[shipped][:n])
+            report["train_loss_parity"] = {
+                "steps": n, "leg": shipped,
+                "max_rel_divergence": float(np.max(np.abs(a - b) / (np.abs(a) + 1e-9))),
+                "full": a.tolist(), shipped: b.tolist(),
+            }
     return report
 
 
