@@ -155,10 +155,16 @@ def smplx_forward(
 
     def single(transl, orient, body_pose, betas):
         J = model.parents.shape[0]
+        # HIGHEST: the TPU MXU default rounds f32 operands to bf16; the
+        # J_regressor contraction is over all V=10475 verts, where that
+        # rounding visibly shifts the regressed joints (same bug class as
+        # the round-3/4 _dot_precision fixes)
+        exact = jax.lax.Precision.HIGHEST
         v_shaped = model.v_template + jnp.einsum(
-            "vdk,k->vd", model.shapedirs, betas
+            "vdk,k->vd", model.shapedirs, betas, precision=exact
         )
-        joints0 = model.J_regressor @ v_shaped                  # (J, 3)
+        joints0 = jnp.matmul(model.J_regressor, v_shaped,
+                             precision=exact)                   # (J, 3)
 
         full_pose = jnp.zeros((J, 3), dtype=orient.dtype)
         full_pose = full_pose.at[0].set(orient)
@@ -166,7 +172,8 @@ def smplx_forward(
         R = rodrigues(full_pose)                                 # (J, 3, 3)
 
         pose_feature = (R[1:] - jnp.eye(3)).reshape(-1)          # ((J-1)*9,)
-        v_posed = v_shaped + (pose_feature @ model.posedirs).reshape(-1, 3)
+        v_posed = v_shaped + jnp.matmul(
+            pose_feature, model.posedirs, precision=exact).reshape(-1, 3)
 
         # kinematic chain: parents come earlier, so a python loop over the
         # static tree unrolls into a fixed op DAG
@@ -183,14 +190,20 @@ def smplx_forward(
         correction = jnp.einsum("jab,jb->ja", A[:, :3, :3], joints0)
         A_skin = A.at[:, :3, 3].add(-correction)
 
-        T = jnp.einsum("vj,jab->vab", model.lbs_weights, A_skin)  # (V, 4, 4)
+        T = jnp.einsum("vj,jab->vab", model.lbs_weights, A_skin,
+                       precision=exact)                          # (V, 4, 4)
         v_h = jnp.concatenate([v_posed, jnp.ones((v_posed.shape[0], 1))], axis=-1)
         verts = jnp.einsum("vab,vb->va", T, v_h)[:, :3]
         return verts + transl, posed_joints + transl
 
     if betas is None:
         betas = jnp.zeros((transl.shape[0], model.shapedirs.shape[-1]))
-    return jax.vmap(single)(transl, orient, body_pose, betas)
+    # trace the WHOLE forward under highest matmul precision: besides the
+    # three big annotated contractions, the 4x4 kinematic chain, the
+    # correction einsum and the final (V,4,4)x(V,4) blend also land on the
+    # MXU, where the f32 default rounds operands to bf16 (~5e-3 on verts)
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(single)(transl, orient, body_pose, betas)
 
 
 def params_to_verts_joints(model: SMPLXModel, params: jnp.ndarray):

@@ -22,8 +22,15 @@ def _leaky_relu(x, negative_slope=0.2):
     return jnp.where(x >= 0, x, negative_slope * x)
 
 
+# HIGHEST everywhere an f32 matmul feeds a METRIC: the TPU MXU default
+# silently rounds f32 operands to bf16 (same bug class as the round-3/4
+# _dot_precision fixes); the reference computes these in true-f32 torch
+_EXACT = jax.lax.Precision.HIGHEST
+
+
 def _linear(p: Dict, prefix: str, x: jnp.ndarray) -> jnp.ndarray:
-    return x @ p[f"{prefix}.weight"].T + p[f"{prefix}.bias"]
+    return jnp.matmul(x, p[f"{prefix}.weight"].T, precision=_EXACT) \
+        + p[f"{prefix}.bias"]
 
 
 def _layer_norm(p: Dict, prefix: str, x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
@@ -39,14 +46,15 @@ def _conv1d_s2(w: jnp.ndarray, b: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         window_strides=(2,),
         padding=((1, 1),),
         dimension_numbers=("NWC", "WIO", "NWC"),
+        precision=_EXACT,
     )
     return out + b
 
 
 def _gru_cell(x, h, w_ih, w_hh, b_ih, b_hh):
     """Exact torch GRU cell: gates [r, z, n]."""
-    gi = x @ w_ih.T + b_ih
-    gh = h @ w_hh.T + b_hh
+    gi = jnp.matmul(x, w_ih.T, precision=_EXACT) + b_ih
+    gh = jnp.matmul(h, w_hh.T, precision=_EXACT) + b_hh
     i_r, i_z, i_n = jnp.split(gi, 3, axis=-1)
     h_r, h_z, h_n = jnp.split(gh, 3, axis=-1)
     r = jax.nn.sigmoid(i_r + h_r)

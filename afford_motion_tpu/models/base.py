@@ -25,7 +25,23 @@ def create_model(model_cfg: Any) -> nn.Module:
 
 
 def create_model_and_diffusion(cfg: Any) -> Tuple[nn.Module, GaussianDiffusion]:
-    """(reference: models/base.py:72-83 + 55-70)."""
+    """(reference: models/base.py:72-83 + 55-70).
+
+    ``model.dtype=float32`` is the documented full-precision restore flag
+    (PARITY.md) — on TPU that must also pin the matmul precision, because
+    the MXU default silently rounds f32 operands to bf16 (the round-3/4
+    ``_dot_precision`` bug class). Scoped here so every entry point
+    (train/test/sample/ddp) inherits it; the shipped bf16 default is
+    unaffected."""
+    import jax
+
+    if str(cfg.model.get("dtype", "bfloat16")) == "float32":
+        jax.config.update("jax_default_matmul_precision", "highest")
+    else:
+        # explicit reset: the config is process-global and A/B harnesses
+        # build several models per process (bf16 legs must not inherit
+        # the f32 leg's 6-pass matmuls — nor vice versa)
+        jax.config.update("jax_default_matmul_precision", None)
     model = create_model(cfg.model)
     diffusion = create_gaussian_diffusion(cfg.diffusion)
     return model, diffusion

@@ -584,17 +584,27 @@ def bench_eval_physics(baselines: dict) -> None:
     verts = jnp.asarray(rng.normal(size=(L, 10475, 3)).astype(np.float32))
     faces = jnp.asarray(body.faces)
 
-    ncs, cts = physics_over_sequence(points, verts, faces)
-    _sync(ncs)
-    rates = []
-    for _ in range(REPS):
-        t0 = time.perf_counter()
-        ncs, cts = physics_over_sequence(points, verts, faces)
+    def time_kernel(kernel):
+        ncs, cts = physics_over_sequence(points, verts, faces, kernel=kernel)
         _sync(ncs)
-        rates.append(1.0 / (time.perf_counter() - t0))
+        rates = []
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            ncs, cts = physics_over_sequence(points, verts, faces,
+                                             kernel=kernel)
+            _sync(ncs)
+            rates.append(1.0 / (time.perf_counter() - t0))
+        return rates
+
+    # default ("auto") = the fused Pallas 1-NN on TPU (round 4,
+    # ops/pallas/sdf.py); the XLA matmul-form path is the round-1..3
+    # baseline and the AM_SDF_KERNEL=xla restore value
+    rates = time_kernel("auto")
+    xla_rates = time_kernel("xla")
     _emit(
         "eval_sdf_physics_seqs_per_sec_o8192_v10475_l196",
         float(np.median(rates)), "seqs/sec", baselines, spread=_spread(rates),
+        xla_path_seqs_per_sec=round(float(np.median(xla_rates)), 4),
     )
 
 

@@ -137,3 +137,83 @@ def test_gather_rows_compiled():
     got = gather_rows(x, idx)
     ref = jax.vmap(lambda xx, ii: jnp.take(xx, ii, axis=0))(x, idx)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-6)
+
+
+def test_sdf_nn1_compiled_protocol_shape():
+    """Compiled fused 1-NN SDF kernel at the eval protocol shape
+    (O=8192 scene points x H=10475 SMPL-X verts): selection equality vs
+    the XLA matmul-form path and fp-level sdf agreement (the two paths
+    round d2 differently — coordinate-difference vs matmul form — so idx
+    may differ only at exact f32 ties)."""
+    from afford_motion_tpu.eval.physics import (
+        physics_over_sequence, signed_distance_seq,
+    )
+    from afford_motion_tpu.ops.pallas.sdf import nn1_pallas
+
+    rng = np.random.default_rng(13)
+    L = 4
+    pts = jnp.asarray(rng.normal(size=(8192, 3)).astype(np.float32))
+    vs = jnp.asarray(rng.normal(size=(L, 10475, 3)).astype(np.float32) * 0.5)
+    faces = jnp.asarray(rng.integers(0, 10475, size=(20908, 3)).astype(np.int32))
+
+    d2, idx = nn1_pallas(pts, vs)
+    d2, idx = np.asarray(d2), np.asarray(idx)
+    for f in range(L):
+        # brute force in f64 on host: the kernel's f32 coordinate-diff d2
+        # must match the f64 selection everywhere except f32-level ties
+        D = np.sum((np.asarray(pts, np.float64)[:, None]
+                    - np.asarray(vs[f], np.float64)[None]) ** 2, axis=-1)
+        ref_idx = D.argmin(1)
+        agree = (idx[f] == ref_idx).mean()
+        assert agree > 0.999, f"frame {f}: idx agreement {agree}"
+        np.testing.assert_allclose(d2[f], D.min(1), rtol=1e-4, atol=1e-6)
+
+    sdf_p = np.asarray(signed_distance_seq(pts, vs, faces, kernel="pallas"))
+    sdf_x = np.asarray(signed_distance_seq(pts, vs, faces, kernel="xla"))
+    # sign flips only possible at ties; distances agree to fp
+    mismatch = np.mean(np.abs(sdf_p - sdf_x) > 1e-3)
+    assert mismatch < 1e-3, f"sdf mismatch rate {mismatch}"
+
+    nc_p, ct_p = physics_over_sequence(pts, vs, faces, kernel="pallas")
+    nc_x, ct_x = physics_over_sequence(pts, vs, faces, kernel="xla")
+    np.testing.assert_allclose(np.asarray(nc_p), np.asarray(nc_x), atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(ct_p), np.asarray(ct_x))
+
+
+def test_eval_stack_f32_matmuls_exact_vs_cpu():
+    """The metric-stack GRU embeddings and the SMPL-X LBS must compute in
+    TRUE f32 on the TPU (explicit Precision.HIGHEST — the MXU default
+    silently rounds f32 operands to bf16, the bug class the round-3
+    banded `_dot_precision` fix caught; round 4 found the same in
+    eval/physics.py, eval/t2m_models.py and eval/smplx_lbs.py). Pins the
+    TPU results to the CPU f32 reference at ~1e-5 — the default MXU
+    precision fails this at ~1e-2."""
+    from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+    from afford_motion_tpu.eval.smplx_lbs import SMPLXModel, smplx_forward
+    from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
+
+    rng = np.random.default_rng(14)
+    cpu = jax.devices("cpu")[0]
+
+    wrapper = EvaluatorWrapper(None, variant="mdm",
+                               params=synthetic_t2m_params())
+    motions = rng.normal(size=(8, 196, 263)).astype(np.float32)
+    m_lens = (rng.integers(10, 49, size=(8,)) * 4).astype(np.int32)
+    emb_tpu = np.asarray(wrapper.get_motion_embeddings(motions, m_lens))
+    with jax.default_device(cpu):
+        emb_cpu = np.asarray(wrapper.get_motion_embeddings(motions, m_lens))
+    np.testing.assert_allclose(emb_tpu, emb_cpu, rtol=2e-4, atol=2e-5)
+
+    body = SMPLXModel.synthetic(num_verts=10475, num_faces=20908)
+    transl = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32))
+    orient = jnp.asarray(rng.normal(size=(2, 3)).astype(np.float32) * 0.2)
+    pose = jnp.asarray(rng.normal(size=(2, 63)).astype(np.float32) * 0.2)
+    verts_tpu, joints_tpu = smplx_forward(body, transl, orient, pose)
+    with jax.default_device(cpu):
+        verts_cpu, joints_cpu = smplx_forward(body, transl, orient, pose)
+    # 1e-3 separates the bug (bf16 rounding ~1e-2) from legitimate f32
+    # reduction-order differences between backends (~3e-4 on the chain)
+    np.testing.assert_allclose(np.asarray(joints_tpu), np.asarray(joints_cpu),
+                               rtol=1e-3, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(verts_tpu), np.asarray(verts_cpu),
+                               rtol=1e-3, atol=1e-3)
