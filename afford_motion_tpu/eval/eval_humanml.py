@@ -148,31 +148,76 @@ def _batches(dataset, batch_size: int, drop_last: bool = True):
     return loader
 
 
-def evaluate_matching_score(wrapper: EvaluatorWrapper, loaders: Dict[str, DataLoader]):
-    """(reference: eval_humanml.py:8-50)."""
+_CAT_KEYS = ("word_embs", "pos_ohot", "sent_len", "motion", "m_len")
+
+
+def evaluate_matching_score(wrapper: EvaluatorWrapper, loaders: Dict[str, DataLoader],
+                            extract_pools: int = 8):
+    """(reference: eval_humanml.py:8-50).
+
+    Pooled extraction: one device call covers ``extract_pools`` protocol
+    pools (loader batches), then each pool's statistics are computed on
+    its own slice. Bit-identical to per-pool extraction — embedding
+    values are per-item (``unsort=True`` returns input row order) and
+    matching score / R-precision are per-pool / per-row statistics. Pool
+    DEFINITIONS (the loader's batch grouping) are unchanged; only full
+    groups of ``extract_pools`` are merged so exactly two device shapes
+    compile (the big chunk and the single pool)."""
     match_score, r_precision, activations = OrderedDict(), OrderedDict(), OrderedDict()
     for name, loader in loaders.items():
         all_emb, score_sum, top_k_count, size = [], 0.0, np.zeros(3), 0
-        for batch in loader:
+
+        def flush(pool_group):
+            nonlocal score_sum, top_k_count, size
+            cat = {k: np.concatenate([np.asarray(b[k]) for b in pool_group], axis=0)
+                   for k in _CAT_KEYS}
             text_emb, motion_emb = wrapper.get_co_embeddings(
-                batch["word_embs"], batch["pos_ohot"], batch["sent_len"],
-                batch["motion"], batch["m_len"],
+                cat["word_embs"], cat["pos_ohot"], cat["sent_len"],
+                cat["motion"], cat["m_len"], unsort=True,
             )
-            dist = euclidean_distance_matrix(text_emb, motion_emb)
-            score_sum += dist.trace()
-            top_k_count += calculate_top_k(np.argsort(dist, axis=1), 3).sum(axis=0)
-            size += text_emb.shape[0]
-            all_emb.append(motion_emb)
+            o = 0
+            for b in pool_group:
+                n = len(np.asarray(b["m_len"]))
+                te, me = text_emb[o: o + n], motion_emb[o: o + n]
+                dist = euclidean_distance_matrix(te, me)
+                score_sum += dist.trace()
+                top_k_count += calculate_top_k(np.argsort(dist, axis=1), 3).sum(axis=0)
+                size += n
+                all_emb.append(me)
+                o += n
+
+        buf = []
+        for batch in loader:
+            buf.append(batch)
+            if len(buf) == extract_pools:
+                flush(buf)
+                buf = []
+        for b in buf:               # tail pools keep the single-pool shape
+            flush([b])
         match_score[name] = score_sum / max(size, 1)
         r_precision[name] = top_k_count / max(size, 1)
         activations[name] = np.concatenate(all_emb, axis=0)
     return match_score, r_precision, activations
 
 
-def evaluate_fid(wrapper, gt_loader, activations):
-    gt_emb = []
+def evaluate_fid(wrapper, gt_loader, activations, extract_pools: int = 8):
+    gt_emb, buf = [], []
+
+    def flush(group):
+        cat_m = np.concatenate([np.asarray(b["motion"]) for b in group], axis=0)
+        cat_l = np.concatenate([np.asarray(b["m_len"]) for b in group], axis=0)
+        # unsort so the concatenated embedding ORDER (and therefore the
+        # fp summation order inside the FID statistics) is independent of
+        # the extraction grouping
+        gt_emb.append(wrapper.get_motion_embeddings(cat_m, cat_l, unsort=True))
+
     for batch in gt_loader:
-        gt_emb.append(wrapper.get_motion_embeddings(batch["motion"], batch["m_len"]))
+        buf.append(batch)
+        if len(buf) == extract_pools:
+            flush(buf)
+            buf = []
+    for b in buf:
+        flush([b])
     gt_mu, gt_cov = calculate_activation_statistics(np.concatenate(gt_emb, axis=0))
     return OrderedDict(
         (name, calculate_frechet_distance(gt_mu, gt_cov, *calculate_activation_statistics(emb)))

@@ -67,13 +67,22 @@ class EvaluatorWrapper:
         return text_emb, motion_emb
 
     # ------------------------------------------------------------------- API
-    def get_co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens):
+    def get_co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens,
+                          unsort: bool = False):
         """Length-desc-sorted protocol; text output re-aligned to the sorted
         motion order, matching the reference's semantics
-        (evaluator_wrapper.py:254-273: both outputs follow align_idx)."""
-        align_idx = np.argsort(np.asarray(m_lens))[::-1].copy()
+        (evaluator_wrapper.py:254-273: both outputs follow align_idx).
+
+        ``unsort=True`` returns both outputs in the INPUT row order
+        instead (inverse permutation applied). Embedding VALUES are
+        per-item (the encoders have no cross-item ops), so this changes
+        only row order — used by the pooled extraction path, where one
+        device call covers several protocol pools and each pool's rows
+        must come back in place."""
+        m_arr = np.asarray(m_lens)
+        align_idx = np.argsort(m_arr)[::-1].copy()
         motions = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
-        m_lens_s = jnp.asarray(np.asarray(m_lens)[align_idx])
+        m_lens_s = jnp.asarray(m_arr[align_idx])
         text_emb, motion_emb = self._co(
             jnp.asarray(word_embs, dtype=jnp.float32),
             jnp.asarray(pos_ohot, dtype=jnp.float32),
@@ -81,11 +90,16 @@ class EvaluatorWrapper:
             motions,
             m_lens_s,
         )
-        text_emb = np.asarray(text_emb)[align_idx]
-        return np.asarray(text_emb), np.asarray(motion_emb)
+        text_emb, motion_emb = np.asarray(text_emb), np.asarray(motion_emb)
+        if unsort:
+            # text was computed in input order; motion needs the inverse
+            return text_emb, motion_emb[np.argsort(align_idx)]
+        return text_emb[align_idx], motion_emb
 
-    def get_motion_embeddings(self, motions, m_lens):
-        align_idx = np.argsort(np.asarray(m_lens))[::-1].copy()
+    def get_motion_embeddings(self, motions, m_lens, unsort: bool = False):
+        m_arr = np.asarray(m_lens)
+        align_idx = np.argsort(m_arr)[::-1].copy()
         motions = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
-        m_lens_s = jnp.asarray(np.asarray(m_lens)[align_idx])
-        return np.asarray(self._mo(motions, m_lens_s))
+        m_lens_s = jnp.asarray(m_arr[align_idx])
+        emb = np.asarray(self._mo(motions, m_lens_s))
+        return emb[np.argsort(align_idx)] if unsort else emb

@@ -619,11 +619,7 @@ def bench_eval_humanml(baselines: dict) -> None:
     import jax.numpy as jnp
 
     from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
-    from afford_motion_tpu.eval.metrics import (
-        calculate_activation_statistics, calculate_diversity,
-        calculate_frechet_distance, calculate_top_k,
-        euclidean_distance_matrix,
-    )
+    from afford_motion_tpu.eval.metrics import calculate_diversity
     from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
 
     wrapper = EvaluatorWrapper(None, variant="mdm",
@@ -644,31 +640,30 @@ def bench_eval_humanml(baselines: dict) -> None:
 
     gt, gen = pool(n_gt), pool(n_gen)
 
-    def run_once():
-        acts = {}
-        for name, p in (("gt", gt), ("vald", gen)):
-            embs, score, topk, size = [], 0.0, np.zeros(3), 0
-            for a in range(0, len(p["m_lens"]) // BATCH32 * BATCH32, BATCH32):
-                sl = slice(a, a + BATCH32)
-                te, me = wrapper.get_co_embeddings(
-                    p["word_embs"][sl], p["pos_ohot"][sl], p["cap_lens"][sl],
-                    p["motions"][sl], p["m_lens"][sl],
-                )
-                dist = euclidean_distance_matrix(te, me)
-                score += dist.trace()
-                topk += calculate_top_k(np.argsort(dist, axis=1), 3).sum(axis=0)
-                size += BATCH32
-                embs.append(me)
-            acts[name] = np.concatenate(embs, axis=0)
-        # FID: a second GT motion-embedding pass (protocol shape)
-        gt_emb = []
-        for a in range(0, n_gt // BATCH32 * BATCH32, BATCH32):
+    def pool_batches(p):
+        """The protocol's batch-32 pools as a list of batch dicts — drives
+        the REAL protocol functions (eval_humanml.evaluate_matching_score
+        / evaluate_fid, shared with h3d_eval), incl. the round-4 pooled
+        extraction (8 pools per device call, bit-identical per-pool
+        statistics)."""
+        out = []
+        for a in range(0, len(p["m_lens"]) // BATCH32 * BATCH32, BATCH32):
             sl = slice(a, a + BATCH32)
-            gt_emb.append(wrapper.get_motion_embeddings(
-                gt["motions"][sl], gt["m_lens"][sl]))
-        mu_g, cov_g = calculate_activation_statistics(np.concatenate(gt_emb, 0))
-        mu_v, cov_v = calculate_activation_statistics(acts["vald"])
-        fid = calculate_frechet_distance(mu_g, cov_g, mu_v, cov_v)
+            out.append({
+                "word_embs": p["word_embs"][sl], "pos_ohot": p["pos_ohot"][sl],
+                "sent_len": p["cap_lens"][sl], "motion": p["motions"][sl],
+                "m_len": p["m_lens"][sl],
+            })
+        return out
+
+    from afford_motion_tpu.eval.eval_humanml import (
+        evaluate_fid, evaluate_matching_score,
+    )
+
+    def run_once():
+        loaders = {"gt": pool_batches(gt), "vald": pool_batches(gen)}
+        match, rprec, acts = evaluate_matching_score(wrapper, loaders)
+        fid = evaluate_fid(wrapper, pool_batches(gt), acts)["vald"]
         div = calculate_diversity(
             acts["vald"], min(300, acts["vald"].shape[0] - 1)
         )

@@ -209,3 +209,46 @@ def test_signed_distance_sign_convention():
 
     d = float(dist_to_obj(pts[1:2], verts, faces))
     assert d <= 0.0
+
+
+def test_pooled_extraction_bit_identical():
+    """Round-4 pooled extraction (evaluate_matching_score/evaluate_fid
+    merge 8 protocol pools per device call): the per-pool statistics and
+    activations must be BIT-identical to the per-pool path — embedding
+    values are per-item and unsort=True restores input row order."""
+    import numpy as np
+
+    from afford_motion_tpu.eval.eval_humanml import (
+        evaluate_fid, evaluate_matching_score,
+    )
+    from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+    from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
+
+    rng = np.random.default_rng(7)
+    wrapper = EvaluatorWrapper(None, variant="mdm",
+                               params=synthetic_t2m_params())
+
+    def pools(n, b=8):
+        out = []
+        for a in range(0, n, b):
+            out.append({
+                "word_embs": rng.normal(size=(b, 22, 300)).astype(np.float32),
+                "pos_ohot": rng.normal(size=(b, 22, 15)).astype(np.float32),
+                "sent_len": rng.integers(5, 22, size=(b,)).astype(np.int32),
+                "motion": rng.normal(size=(b, 196, 263)).astype(np.float32),
+                "m_len": (rng.integers(10, 49, size=(b,)) * 4).astype(np.int32),
+            })
+        return out
+
+    batches = pools(40)            # 5 pools: one merged group of 3 + 2 tail
+    m1, r1, a1 = evaluate_matching_score(
+        wrapper, {"x": list(batches)}, extract_pools=3)
+    m2, r2, a2 = evaluate_matching_score(
+        wrapper, {"x": list(batches)}, extract_pools=1)
+    assert m1["x"] == m2["x"]
+    np.testing.assert_array_equal(r1["x"], r2["x"])
+    np.testing.assert_array_equal(a1["x"], a2["x"])
+
+    f1 = evaluate_fid(wrapper, list(batches), a1, extract_pools=3)
+    f2 = evaluate_fid(wrapper, list(batches), a2, extract_pools=1)
+    assert f1["x"] == f2["x"]
