@@ -280,7 +280,7 @@ class Text2MotionInSceneEvaluator(Eval):
             if "non_collision" in self.eval_metrics or "contact" in self.eval_metrics:
                 ncs, cts = physics_over_sequence(
                     xyz, jnp.asarray(verts), faces,
-                    kernel=str(self.cfg.evaluator.get("sdf_kernel", "auto")),
+                    kernel=str(self.cfg.get("sdf_kernel", "auto")),
                 )
                 self.metrics["non_collision"].append(float(np.mean(np.asarray(ncs))))
                 self.metrics["contact"].append(float(np.mean(np.asarray(cts))))

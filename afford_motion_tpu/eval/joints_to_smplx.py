@@ -193,9 +193,28 @@ class JointsToSMPLXFitter:
         return self.body_model.faces
 
     def fit(self, joints: np.ndarray, x_mask: np.ndarray) -> np.ndarray:
-        """(B, L, 66) + (B, L) -> refined params (B, L, 69)."""
-        joints = jnp.asarray(joints, dtype=jnp.float32)
-        x_mask = jnp.asarray(x_mask)
+        """(B, L, 66) + (B, L) -> refined params (B, L, 69).
+
+        On a multi-device mesh the batch shards over the data axis (GSPMD
+        — regressor params replicated, rows independent; per-row results
+        match single-device to fp reduction-order level — CPU-mesh
+        equivalence test). One chip saturates at a single 196-frame sequence
+        (docs/PERF.md round-4 fit batch scan), so eval fit throughput
+        scales with the mesh, like the test sampler (test.py:118-141)."""
+        from ..parallel.mesh import create_mesh_for_batch, replicate, shard_batch
+
+        joints = np.asarray(joints, dtype=np.float32)
+        x_mask_np = np.asarray(x_mask)
+        mesh = create_mesh_for_batch(len(joints))
+        if len(mesh.devices.ravel()) > 1:
+            params = replicate(self.params, mesh)
+            sharded = shard_batch(
+                {"joints": joints, "x_mask": x_mask_np}, mesh)
+            pred = self._predict(params, sharded["joints"], sharded["x_mask"])
+            return np.asarray(
+                self._refine(pred, sharded["joints"], sharded["x_mask"]))
+        joints = jnp.asarray(joints)
+        x_mask = jnp.asarray(x_mask_np)
         pred = self._predict(self.params, joints, x_mask)
         return np.asarray(self._refine(pred, joints, x_mask))
 
