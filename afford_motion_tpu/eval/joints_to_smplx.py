@@ -25,7 +25,9 @@ from flax import linen as nn
 
 from ..models.layers import PositionalEncoding, TransformerEncoder
 from ..utils.io import get_logger
-from .smplx_lbs import SMPLXModel, params_to_verts_joints, smplx_forward
+from .smplx_lbs import (
+    SMPLXModel, params_to_joints, params_to_verts_joints, smplx_forward,
+)
 
 logger = get_logger()
 
@@ -139,7 +141,11 @@ def make_refine_fn(model: SMPLXModel, lr: float, steps: int):
         def loss_fn(params, use_smooth):
             B, L, _ = params.shape
             flat = params.reshape(B * L, PARAM_DIM)
-            _, j = params_to_verts_joints(model, flat)
+            # joints-only forward: bit-identical to params_to_verts_joints'
+            # joints output, but the vertex stack and the per-frame
+            # rest-joint regression (constant at betas=0) drop out of the
+            # 200-step loop — see smplx_lbs.smplx_joints
+            j = params_to_joints(model, flat)
             j = j.reshape(B, L, NJOINTS * 3)
             # masked mean over (valid frames, joints, 3) — the reference's
             # torch.mean over the unpadded sequence (utils/misc.py:133)

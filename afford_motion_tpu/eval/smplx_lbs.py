@@ -12,6 +12,7 @@ per-sequence fitting loop runs on device.
 """
 from __future__ import annotations
 
+import functools
 import os
 from pathlib import Path
 from typing import Optional, Tuple
@@ -121,19 +122,60 @@ class SMPLXModel:
 
 
 def rodrigues(axis_angle: jnp.ndarray) -> jnp.ndarray:
-    """Axis-angle (..., 3) -> rotation matrices (..., 3, 3)."""
+    """Axis-angle (..., 3) -> rotation matrices (..., 3, 3).
+
+    Closed form ``R = cosθ·I + sinθ·K + (1−cosθ)·nnᵀ`` built elementwise —
+    no ``K @ K`` batched 3x3 matmul (which XLA pads onto 128-wide MXU
+    tiles; at ``Precision.HIGHEST`` that was ~half the joints-only LBS
+    forward on chip, docs/PERF.md round-4 fit follow-up). Pure VPU f32."""
     angle = jnp.linalg.norm(axis_angle, axis=-1, keepdims=True)
     axis = axis_angle / jnp.maximum(angle, 1e-8)
     x, y, z = axis[..., 0], axis[..., 1], axis[..., 2]
-    zeros = jnp.zeros_like(x)
-    K = jnp.stack([
-        zeros, -z, y,
-        z, zeros, -x,
-        -y, x, zeros,
+    a = angle[..., 0]
+    s, c = jnp.sin(a), jnp.cos(a)
+    C = 1.0 - c
+    R = jnp.stack([
+        c + C * x * x,     -s * z + C * x * y, s * y + C * x * z,
+        s * z + C * x * y, c + C * y * y,      -s * x + C * y * z,
+        -s * y + C * x * z, s * x + C * y * z, c + C * z * z,
     ], axis=-1).reshape(axis_angle.shape[:-1] + (3, 3))
-    a = angle[..., None]
-    eye = jnp.eye(3, dtype=axis_angle.dtype)
-    return eye + jnp.sin(a) * K + (1.0 - jnp.cos(a)) * (K @ K)
+    return R
+
+
+def _matmul44(A: jnp.ndarray, B: jnp.ndarray) -> jnp.ndarray:
+    """Batched 4x4 matmul in mul+sum form: exact f32 on the VPU instead
+    of a contraction-4 dot padded onto 128-wide MXU tiles."""
+    return (A[..., :, :, None] * B[..., None, :, :]).sum(axis=-2)
+
+
+@functools.lru_cache(maxsize=8)
+def _tree_levels(parents: tuple) -> tuple:
+    """Joints grouped by kinematic-tree depth: ((idx, parent_idx), ...)
+    for depths 1..max — the chain composes level-by-level (depth ~11 for
+    SMPL-X) instead of joint-by-joint (54 sequential 4x4 matmuls)."""
+    parents_np = np.asarray(parents)
+    depth = np.zeros(len(parents_np), np.int64)
+    for j in range(1, len(parents_np)):
+        depth[j] = depth[parents_np[j]] + 1
+    levels = []
+    for d in range(1, int(depth.max()) + 1):
+        idx = np.where(depth == d)[0]
+        levels.append((idx, parents_np[idx]))
+    return tuple(levels)
+
+
+def chain_transforms(R: jnp.ndarray, rel: jnp.ndarray,
+                     parents_np: np.ndarray) -> jnp.ndarray:
+    """Per-joint local rigid transforms -> global transforms along the
+    kinematic tree. R (J, 3, 3), rel (J, 3) -> (J, 4, 4). Level-batched:
+    every joint at tree depth d composes with its (already-final) parent
+    in one batched VPU 4x4 matmul, so the critical path is the tree depth
+    (~11), not the joint count (55)."""
+    T_local = _rigid_transform(R, rel)                       # (J, 4, 4)
+    A = T_local
+    for idx, par in _tree_levels(tuple(int(p) for p in parents_np)):
+        A = A.at[idx].set(_matmul44(A[par], T_local[idx]))
+    return A
 
 
 def _rigid_transform(R: jnp.ndarray, t: jnp.ndarray) -> jnp.ndarray:
@@ -175,25 +217,21 @@ def smplx_forward(
         v_posed = v_shaped + jnp.matmul(
             pose_feature, model.posedirs, precision=exact).reshape(-1, 3)
 
-        # kinematic chain: parents come earlier, so a python loop over the
-        # static tree unrolls into a fixed op DAG
+        # kinematic chain, level-batched over tree depth (VPU 4x4 matmuls)
         rel = joints0.at[1:].add(-joints0[np.asarray(model.parents)[1:]])
-        transforms = [_rigid_transform(R[:1], rel[:1])[0]]
-        parents_np = np.asarray(model.parents)
-        for j in range(1, J):
-            Tj = transforms[parents_np[j]] @ _rigid_transform(R[j: j + 1], rel[j: j + 1])[0]
-            transforms.append(Tj)
-        A = jnp.stack(transforms)                                 # (J, 4, 4)
+        A = chain_transforms(R, rel, np.asarray(model.parents))   # (J, 4, 4)
         posed_joints = A[:, :3, 3]
 
         # remove the rest-pose joint locations from the skinning transforms
-        correction = jnp.einsum("jab,jb->ja", A[:, :3, :3], joints0)
+        # (mul+sum: a contraction-3 "matmul" belongs on the VPU, exact f32)
+        correction = (A[:, :3, :3] * joints0[:, None, :]).sum(axis=-1)
         A_skin = A.at[:, :3, 3].add(-correction)
 
         T = jnp.einsum("vj,jab->vab", model.lbs_weights, A_skin,
                        precision=exact)                          # (V, 4, 4)
         v_h = jnp.concatenate([v_posed, jnp.ones((v_posed.shape[0], 1))], axis=-1)
-        verts = jnp.einsum("vab,vb->va", T, v_h)[:, :3]
+        # per-vertex 4x4 blend in mul+sum form (contraction 4 — VPU)
+        verts = (T * v_h[:, None, :]).sum(axis=-1)[:, :3]
         return verts + transl, posed_joints + transl
 
     if betas is None:
@@ -206,8 +244,64 @@ def smplx_forward(
         return jax.vmap(single)(transl, orient, body_pose, betas)
 
 
+def smplx_joints(
+    model: SMPLXModel,
+    transl: jnp.ndarray,      # (B, 3)
+    orient: jnp.ndarray,      # (B, 3) axis-angle
+    body_pose: jnp.ndarray,   # (B, 63)
+    betas: Optional[jnp.ndarray] = None,  # (B, n_betas)
+) -> jnp.ndarray:
+    """Joints-only forward (B, J, 3) — bit-identical to
+    ``smplx_forward(...)[1]``, but skips everything the joints don't
+    depend on: the pose blendshapes and the whole vertex-skinning stack
+    (posedirs, lbs_weights, the (V,4,4) blend) never touch the joints and
+    are not traced at all. With ``betas=None`` additionally
+    ``v_shaped == v_template`` exactly (``shapedirs @ 0 == 0`` in f32),
+    so the rest-pose joints are a CONSTANT of the model — regressed ONCE
+    (unbatched) instead of per frame. This is the hot path of the
+    200-step Adam refinement (reference: utils/misc.py:78-125 optimizes a
+    joints-only MSE): the batched per-frame J_regressor/shapedirs
+    contractions over all V=10475 vertices were ~all of its FLOPs under
+    ``Precision.HIGHEST``."""
+    J = model.parents.shape[0]
+    parents_np = np.asarray(model.parents)
+    with jax.default_matmul_precision("highest"):
+        exact = jax.lax.Precision.HIGHEST
+
+        def rest_joints(betas_row) -> jnp.ndarray:               # (J, 3)
+            v_shaped = model.v_template + jnp.einsum(
+                "vdk,k->vd", model.shapedirs, betas_row, precision=exact)
+            return jnp.matmul(model.J_regressor, v_shaped, precision=exact)
+
+        def single(transl, orient, body_pose, joints0):
+            rel = joints0.at[1:].add(-joints0[parents_np[1:]])
+            full_pose = jnp.zeros((J, 3), dtype=orient.dtype)
+            full_pose = full_pose.at[0].set(orient)
+            full_pose = full_pose.at[1: 1 + NUM_BODY_JOINTS].set(
+                body_pose.reshape(21, 3))
+            R = rodrigues(full_pose)                               # (J, 3, 3)
+            A = chain_transforms(R, rel, parents_np)               # (J, 4, 4)
+            return A[:, :3, 3] + transl
+
+        if betas is None:
+            # constant across frames AND refinement steps (betas == 0)
+            joints0 = jnp.matmul(model.J_regressor, model.v_template,
+                                 precision=exact)                  # (J, 3)
+            return jax.vmap(
+                functools.partial(single, joints0=joints0)
+            )(transl, orient, body_pose)
+        joints0 = jax.vmap(rest_joints)(betas)
+        return jax.vmap(single)(transl, orient, body_pose, joints0)
+
+
 def params_to_verts_joints(model: SMPLXModel, params: jnp.ndarray):
     """69-d param rows -> (verts, joints[:, :22]) (reference: utils/misc.py:26-76)."""
     transl, orient, body_pose = params[:, :3], params[:, 3:6], params[:, 6:69]
     verts, joints = smplx_forward(model, transl, orient, body_pose)
     return verts, joints[:, :22, :]
+
+
+def params_to_joints(model: SMPLXModel, params: jnp.ndarray) -> jnp.ndarray:
+    """69-d param rows -> joints (B, 22, 3) via the joints-only forward."""
+    transl, orient, body_pose = params[:, :3], params[:, 3:6], params[:, 6:69]
+    return smplx_joints(model, transl, orient, body_pose)[:, :22, :]

@@ -202,7 +202,7 @@ class PROXExtractor:
         return cam_trans, centers
 
     def process(self) -> None:
-        from ..eval.smplx_lbs import SMPLXModel, smplx_forward
+        from ..eval.smplx_lbs import SMPLXModel, smplx_joints
         import jax.numpy as jnp
 
         model = SMPLXModel.load_default()  # neutral stands in for m/f pelvis lookup
@@ -222,7 +222,7 @@ class PROXExtractor:
                 transl = np.asarray(p["transl"], dtype=np.float32)
                 orient = np.asarray(p["global_orient"], dtype=np.float32)
                 body_pose = np.asarray(p["body_pose"], dtype=np.float32)
-                _, joints = smplx_forward(
+                joints = smplx_joints(
                     model, jnp.asarray(transl), jnp.asarray(orient), jnp.asarray(body_pose)
                 )
                 pelvis = np.asarray(joints[:, 0, :])

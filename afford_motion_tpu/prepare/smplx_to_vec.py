@@ -10,7 +10,7 @@ from typing import Optional, Tuple
 
 import numpy as np
 
-from ..eval.smplx_lbs import SMPLXModel, smplx_forward
+from ..eval.smplx_lbs import SMPLXModel, smplx_joints
 
 JOINTS = 22
 RIGHT_CHAIN = [2, 5, 8, 11, 14, 17, 19, 21]
@@ -29,7 +29,8 @@ def convert_smplx_to_pos(
     L = pose_seq.shape[0]
     betas = np.zeros_like(betas) if same_betas else betas
     betas_b = jnp.broadcast_to(jnp.asarray(betas, dtype=jnp.float32), (L, len(betas)))
-    _, joints = smplx_forward(
+    # joints-only forward (bit-identical joints; skips the vertex stack)
+    joints = smplx_joints(
         model,
         jnp.asarray(pose_seq[:, :3], dtype=jnp.float32),
         jnp.asarray(pose_seq[:, 3:6], dtype=jnp.float32),

@@ -66,6 +66,34 @@ def test_global_rotation_rotates_everything(model):
     np.testing.assert_allclose(np.asarray(v1[0]), want, rtol=1e-3, atol=1e-4)
 
 
+def test_joints_only_forward_bit_identical(model):
+    """smplx_joints must equal smplx_forward's joints EXACTLY: the
+    refinement loop switched to it (round 4 — skips the vertex stack and
+    the per-frame rest-joint regression, both dead at betas=0), so any
+    numeric difference would silently change refined eval params."""
+    from afford_motion_tpu.eval.smplx_lbs import params_to_joints, smplx_joints
+
+    rng = np.random.default_rng(7)
+    B = 5
+    transl = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32))
+    orient = jnp.asarray(rng.normal(size=(B, 3)).astype(np.float32) * 0.4)
+    pose = jnp.asarray(rng.normal(size=(B, 63)).astype(np.float32) * 0.3)
+    _, j_full = smplx_forward(model, transl, orient, pose)
+    j_fast = smplx_joints(model, transl, orient, pose)
+    assert np.array_equal(np.asarray(j_full), np.asarray(j_fast))
+    # and through the 69-d param entry used by the refine loss
+    params = jnp.concatenate([transl, orient, pose], axis=-1)
+    assert np.array_equal(
+        np.asarray(params_to_verts_joints(model, params)[1]),
+        np.asarray(params_to_joints(model, params)),
+    )
+    # with explicit betas (the prepare/smplx_to_vec path)
+    betas = jnp.asarray(rng.normal(size=(B, 10)).astype(np.float32) * 0.5)
+    _, j_full_b = smplx_forward(model, transl, orient, pose, betas=betas)
+    j_fast_b = smplx_joints(model, transl, orient, pose, betas=betas)
+    assert np.array_equal(np.asarray(j_full_b), np.asarray(j_fast_b))
+
+
 def test_refinement_reduces_joint_error(model):
     from afford_motion_tpu.eval.joints_to_smplx import PARAM_DIM, make_refine_fn
     from afford_motion_tpu.eval.smplx_lbs import params_to_verts_joints
