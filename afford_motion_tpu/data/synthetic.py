@@ -99,6 +99,116 @@ def make_synthetic_h3d(
     (base / "all.txt").write_text("\n".join(names) + "\n")
 
 
+def make_synthetic_h3d_protocol(
+    root: str,
+    n_train: int = 64,
+    n_test: int = 4384,
+    num_points: int = 8192,
+    n_joints: int = 22,
+    dim: int = 263,
+    horizon_range=(40, 199),
+    seed: int = 11,
+) -> None:
+    """Protocol-scale synthetic H3D tree for eval-rehearsal runs.
+
+    Same on-disk layout as :func:`make_synthetic_h3d` but with independent
+    train/test split sizes so the test split can match the reference's real
+    HumanML3D eval corpus (4,384 test sequences feed both the generation
+    loop and the offline protocol's GT pools —
+    reference h3d_eval/eval_h3d_dataset_offline.py:129-160) while the train
+    split stays small (only used to mint a checkpoint). Scene point clouds
+    are written at the production 8,192-point resolution for every item so
+    the test-time conditioning I/O cost is shape-honest.
+    """
+    rng = np.random.default_rng(seed)
+    base = Path(root) / "H3D"
+    (base / "new_joint_vecs").mkdir(parents=True, exist_ok=True)
+    (base / "texts").mkdir(parents=True, exist_ok=True)
+    (base / "contacts").mkdir(parents=True, exist_ok=True)
+
+    n_items = n_train + n_test
+    names = [f"{i:06d}" for i in range(n_items)]
+    for name in names:
+        L = int(rng.integers(*horizon_range))
+        np.save(base / "new_joint_vecs" / f"{name}.npy",
+                rng.normal(size=(L, dim)).astype(np.float32))
+        (base / "texts" / f"{name}.txt").write_text(
+            "a person walks forward#a/DET person/NOUN walk/VERB forward/ADV#0.0#0.0\n"
+            "someone strolls ahead#someone/NOUN stroll/VERB ahead/ADV#0.0#0.0\n"
+        )
+        points = rng.normal(size=(num_points, 6)).astype(np.float32)
+        dist = np.abs(rng.normal(size=(num_points, n_joints))).astype(np.float32)
+        np.savez(base / "contacts" / f"{name}.npz", points=points, dist=dist)
+
+    np.save(base / "Mean.npy", np.zeros(dim, dtype=np.float32))
+    np.save(base / "Std.npy", np.ones(dim, dtype=np.float32))
+    (base / "train.txt").write_text("\n".join(names[:n_train]) + "\n")
+    (base / "test.txt").write_text("\n".join(names[n_train:]) + "\n")
+    (base / "all.txt").write_text("\n".join(names) + "\n")
+
+
+def make_synthetic_t2m_ckpt(path: str, dim_pose: int = 263, dim_move: int = 512,
+                            dim_word: int = 300, dim_pos: int = 15,
+                            hid_text: int = 512, hid_motion: int = 1024,
+                            coemb: int = 512, strip: bool = True) -> None:
+    """Random-weight torch ``finest.tar`` with the real T2M evaluator layout
+    (reference: evaluator_wrapper.py:200-216 keys movement/text/motion
+    encoder) so the torch→JAX conversion path is exercised end-to-end
+    without the gated checkpoint. Shared by tests and the protocol
+    rehearsal driver."""
+    import torch
+    import torch.nn as nn
+
+    torch.manual_seed(0)
+
+    class Movement(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.main = nn.Sequential(
+                nn.Conv1d(dim_pose - 4 if strip else dim_pose, dim_move, 4, 2, 1),
+                nn.Dropout(0.2), nn.LeakyReLU(0.2),
+                nn.Conv1d(dim_move, dim_move, 4, 2, 1),
+                nn.Dropout(0.2), nn.LeakyReLU(0.2),
+            )
+            self.out_net = nn.Linear(dim_move, dim_move)
+
+    class Text(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.pos_emb = nn.Linear(dim_pos, dim_word)
+            self.input_emb = nn.Linear(dim_word, hid_text)
+            self.gru = nn.GRU(hid_text, hid_text, batch_first=True, bidirectional=True)
+            self.output_net = nn.Sequential(
+                nn.Linear(hid_text * 2, hid_text), nn.LayerNorm(hid_text),
+                nn.LeakyReLU(0.2), nn.Linear(hid_text, coemb))
+            self.hidden = nn.Parameter(torch.randn(2, 1, hid_text))
+
+    class Motion(nn.Module):
+        def __init__(self):
+            super().__init__()
+            self.input_emb = nn.Linear(dim_move, hid_motion)
+            self.gru = nn.GRU(hid_motion, hid_motion, batch_first=True, bidirectional=True)
+            self.output_net = nn.Sequential(
+                nn.Linear(hid_motion * 2, hid_motion), nn.LayerNorm(hid_motion),
+                nn.LeakyReLU(0.2), nn.Linear(hid_motion, coemb))
+            self.hidden = nn.Parameter(torch.randn(2, 1, hid_motion))
+
+    def shrink(m):  # keep deep GRU activations finite on random weights
+        with torch.no_grad():
+            for p in m.parameters():
+                p.mul_(0.2)
+
+    move, text, motion = Movement(), Text(), Motion()
+    for m in (move, text, motion):
+        shrink(m)
+    torch.save({
+        "movement_encoder": move.state_dict(),
+        "text_encoder": text.state_dict(),
+        "motion_encoder": motion.state_dict(),
+        "epoch": 1,
+    }, path)
+
+
 def make_synthetic_custom(
     root: str,
     n_items: int = 4,

@@ -69,8 +69,13 @@ class SMPLXModel:
     @classmethod
     def load_default(cls) -> "SMPLXModel":
         if os.environ.get("SMPLX_USE_SYNTHETIC"):
-            # tests / demos without the real body model on disk
-            return cls.synthetic()
+            # tests / demos without the real body model on disk;
+            # SMPLX_SYNTHETIC_VERTS/FACES pick the mesh resolution (the
+            # protocol rehearsal uses the official 10475/20908 so every
+            # LBS/SDF shape is production-honest)
+            nv = int(os.environ.get("SMPLX_SYNTHETIC_VERTS", "128"))
+            nf = os.environ.get("SMPLX_SYNTHETIC_FACES", "")
+            return cls.synthetic(num_verts=nv, num_faces=int(nf) if nf else None)
         for cand in (
             os.environ.get("SMPLX_MODEL_PATH", ""),
             "./data/smplx/SMPLX_NEUTRAL.npz",

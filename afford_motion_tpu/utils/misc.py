@@ -20,14 +20,43 @@ def apply_platform_env() -> None:
     or a backend is already live.
     """
     plats = os.environ.get("JAX_PLATFORMS")
-    if not plats:
-        return
-    import jax
+    if plats:
+        import jax
 
+        try:
+            jax.config.update("jax_platforms", plats)
+        except Exception:
+            pass  # backend already initialized — too late to switch
+    _enable_compile_cache()
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache shared across CLI invocations.
+
+    Over the remote-TPU tunnel a cold jit of the full train/sample chain
+    costs 1-3 min per process; the reference workflow (train.sh, then
+    test.sh per eval mode, then sample.sh) spawns a fresh process each
+    time. Caching the serialized executables on disk makes every
+    invocation after the first skip straight to execution — verified to
+    work through the axon remote backend. ``AM_COMPILE_CACHE=off``
+    disables; ``AM_COMPILE_CACHE=<dir>`` relocates (default
+    ``~/.cache/afford_motion_tpu/xla``). Only compiles >1 s are kept, so
+    tiny test-suite programs do not churn the cache.
+    """
+    val = os.environ.get("AM_COMPILE_CACHE", "")
+    if val.lower() in ("off", "0", "none", "false"):
+        return
+    cache_dir = val or os.path.join(
+        os.path.expanduser("~"), ".cache", "afford_motion_tpu", "xla"
+    )
     try:
-        jax.config.update("jax_platforms", plats)
+        os.makedirs(cache_dir, exist_ok=True)
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
-        pass  # backend already initialized — too late to switch
+        pass  # older jaxlib or backend already finalized — cache is best-effort
 
 # Central repr-dimension table (reference: utils/misc.py:4-22). Fills
 # cfg.model.input_feats at startup (reference: train.py:60, test.py:158).

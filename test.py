@@ -49,6 +49,8 @@ def _init_variables(model, diffusion, batch, text_encoder):
 
 
 def test(cfg: DictConfig) -> None:
+    import time
+
     import jax
     import jax.numpy as jnp
 
@@ -56,10 +58,16 @@ def test(cfg: DictConfig) -> None:
     mkdir_if_not_exists(test_dir)
     add_file_handler(os.path.join(test_dir, "test.log"))
     logger.info("[Test] ==> Begin testing..")
+    # phase wall-clock ledger -> <test_dir>/timing.json (observability for
+    # protocol-scale runs; the per-batch list separates the first
+    # compile-bearing batch from the steady-state loop)
+    timing: dict = {"batches_s": []}
+    t_start = time.monotonic()
 
     test_kwargs = {k: v for k, v in cfg.task.test.items()
                    if k not in ("batch_size", "num_workers")}
     test_dataset = create_dataset(cfg.task.dataset, "test", **test_kwargs)
+    timing["dataset_load_s"] = time.monotonic() - t_start
     logger.info(f"Load test dataset size: {len(test_dataset)}")
     test_dataloader = test_dataset.get_dataloader(
         batch_size=cfg.task.test.batch_size,
@@ -89,6 +97,7 @@ def test(cfg: DictConfig) -> None:
     )
     variables = {"params": params, "batch_stats": batch_stats}
     logger.info(f"Load checkpoint from {ckpt}")
+    timing["init_restore_s"] = time.monotonic() - t_start - timing["dataset_load_s"]
 
     evaluator = create_evaluator(cfg.task)
     # reference test.py always runs the DDPM chain (test.py:94-101);
@@ -110,6 +119,7 @@ def test(cfg: DictConfig) -> None:
     B = cfg.task.test.batch_size
     is_cmdm = str(cfg.model.name).startswith("CMDM")
     sample_list, k_samples_list = [], []
+    n_motions = 0
     k_samples_idxs = (
         list(range(evaluator.num_k_samples // B)) if evaluator.k_samples > 0 else []
     )
@@ -130,7 +140,9 @@ def test(cfg: DictConfig) -> None:
             f"sampling over {len(sample_mesh.devices.ravel())}-device mesh"
         )
 
+    t_loop = time.monotonic()
     for i, data in enumerate(test_dataloader):
+        t_batch = time.monotonic()
         use_k_sample = i in k_samples_idxs
         repeat_times = evaluator.k_samples if use_k_sample else 1
         logger.info(f"batch {i}, k_sample={use_k_sample}, cases={data['info_index']}")
@@ -162,6 +174,7 @@ def test(cfg: DictConfig) -> None:
             else:
                 sample = np.asarray(sample_fn(variables, shape, cond_k, sub))
             chain_idx += 1
+            n_motions += shape[0]
             per_k.append(sample)
 
         for bsi in range(shape[0]):
@@ -177,11 +190,28 @@ def test(cfg: DictConfig) -> None:
                     res[key] = data[key][bsi]
                 k_samples_list.append(res)
 
+        timing["batches_s"].append(round(time.monotonic() - t_batch, 3))
         if i + 1 >= evaluator.eval_nbatch:
             break
 
+    timing["generation_loop_s"] = time.monotonic() - t_loop
+    timing["n_motions"] = int(n_motions)
+    t_eval = time.monotonic()
     evaluator.evaluate(sample_list, k_samples_list, test_dir, test_dataloader)
     evaluator.report(test_dir)
+    timing["evaluator_s"] = time.monotonic() - t_eval
+    timing["total_s"] = time.monotonic() - t_start
+    import json as _json
+
+    with open(os.path.join(test_dir, "timing.json"), "w") as f:
+        _json.dump(timing, f, indent=1)
+    logger.info(
+        f"[Test] timing: load {timing['dataset_load_s']:.1f}s, "
+        f"init {timing['init_restore_s']:.1f}s, "
+        f"loop {timing['generation_loop_s']:.1f}s "
+        f"({len(timing['batches_s'])} batches, first {timing['batches_s'][0] if timing['batches_s'] else 0:.1f}s), "
+        f"eval {timing['evaluator_s']:.1f}s"
+    )
     logger.info(f"[Test] results in {test_dir}")
 
 

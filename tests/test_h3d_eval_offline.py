@@ -10,64 +10,7 @@ import numpy as np
 import pytest
 
 
-def _make_t2m_checkpoint(path, dim_pose=263, dim_move=512, dim_word=300,
-                         dim_pos=15, hid_text=512, hid_motion=1024, coemb=512,
-                         strip=True):
-    """Random-weight torch checkpoint with the reference layout
-    (reference: evaluator_wrapper.py:200-216 keys movement/text/motion_encoder)."""
-    import torch
-    import torch.nn as nn
-    from torch.nn.utils.rnn import pack_padded_sequence  # noqa: F401
-
-    torch.manual_seed(0)
-
-    class Movement(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.main = nn.Sequential(
-                nn.Conv1d(dim_pose - 4 if strip else dim_pose, dim_move, 4, 2, 1), nn.Dropout(0.2),
-                nn.LeakyReLU(0.2),
-                nn.Conv1d(dim_move, dim_move, 4, 2, 1), nn.Dropout(0.2),
-                nn.LeakyReLU(0.2),
-            )
-            self.out_net = nn.Linear(dim_move, dim_move)
-
-    class Text(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.pos_emb = nn.Linear(dim_pos, dim_word)
-            self.input_emb = nn.Linear(dim_word, hid_text)
-            self.gru = nn.GRU(hid_text, hid_text, batch_first=True, bidirectional=True)
-            self.output_net = nn.Sequential(
-                nn.Linear(hid_text * 2, hid_text), nn.LayerNorm(hid_text),
-                nn.LeakyReLU(0.2), nn.Linear(hid_text, coemb))
-            self.hidden = nn.Parameter(torch.randn(2, 1, hid_text))
-
-    class Motion(nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.input_emb = nn.Linear(dim_move, hid_motion)
-            self.gru = nn.GRU(hid_motion, hid_motion, batch_first=True, bidirectional=True)
-            self.output_net = nn.Sequential(
-                nn.Linear(hid_motion * 2, hid_motion), nn.LayerNorm(hid_motion),
-                nn.LeakyReLU(0.2), nn.Linear(hid_motion, coemb))
-            self.hidden = nn.Parameter(torch.randn(2, 1, hid_motion))
-
-    # scale weights down so deep GRUs stay finite
-    def shrink(m):
-        with torch.no_grad():
-            for p in m.parameters():
-                p.mul_(0.2)
-
-    move, text, motion = Movement(), Text(), Motion()
-    for m in (move, text, motion):
-        shrink(m)
-    torch.save({
-        "movement_encoder": move.state_dict(),
-        "text_encoder": text.state_dict(),
-        "motion_encoder": motion.state_dict(),
-        "epoch": 1,
-    }, path)
+from afford_motion_tpu.data.synthetic import make_synthetic_t2m_ckpt as _make_t2m_checkpoint
 
 
 @pytest.mark.slow
