@@ -62,7 +62,6 @@ class DataLoader:
         # so torch-style num_workers maps onto a thread pool here
         self.num_workers = max(0, int(num_workers))
         self.seed = int(seed)
-        self._rng = np.random.default_rng(seed)
         self._epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -78,7 +77,12 @@ class DataLoader:
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
-            rng = np.random.default_rng(self._rng.integers(2 ** 31) + self._epoch)
+            # pure function of (seed, epoch): a crash-resumed process that
+            # jumps straight to epoch e sees the exact permutation the
+            # uninterrupted run used (train/loop.py fast-forward; the old
+            # stateful-generator scheme made the shuffle depend on how many
+            # epochs THIS process had already iterated)
+            rng = np.random.default_rng([self.seed, self._epoch])
             rng.shuffle(order)
         stop = (n // self.batch_size) * self.batch_size if self.drop_last else n
         return [order[i: i + self.batch_size] for i in range(0, stop, self.batch_size)]
@@ -118,7 +122,13 @@ class DataLoader:
             ex.shutdown(wait=False, cancel_futures=True)
 
     def __iter__(self) -> Iterator[Dict[str, Any]]:
-        batches = self._batch_indices()
+        return self.iter_batches()
+
+    def iter_batches(self, skip: int = 0) -> Iterator[Dict[str, Any]]:
+        """Iterate the current epoch's batches, skipping the first ``skip``
+        WITHOUT loading their items (resume fast-forward — the skipped
+        batches cost index arithmetic only)."""
+        batches = self._batch_indices()[skip:]
         if self.num_workers > 1:
             yield from self._iter_pooled(batches)
             return
