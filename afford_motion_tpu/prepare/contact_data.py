@@ -69,6 +69,83 @@ def _joint_distance_map_jax(pose_seq: np.ndarray, scene_xyz: np.ndarray) -> np.n
     return np.asarray(compute(jnp.asarray(pose_seq), jnp.asarray(scene_xyz)))
 
 
+_BATCH_KERNELS: Dict[Tuple[int, int, int], object] = {}
+
+
+def joint_distance_map_batch(
+    pose_seqs: Sequence[np.ndarray], scenes: np.ndarray
+) -> np.ndarray:
+    """Batched corpus-scale form of :func:`joint_distance_map`: ``B``
+    variable-length (L_i, J, 3) trajectories + (B, N, 3) scenes ->
+    (B, N, J) min distances in ONE jitted device call.
+
+    The per-pair path recompiles for every distinct trajectory length and
+    pays one dispatch + one host->device transfer per pair — pathological
+    at corpus scale on a remote backend (reference offline cost:
+    prepare/generate_contact_data.py:361-487 runs this per pair on KDTree).
+    Here trajectories pad to a bucketed L_max (few compile shapes), padding
+    rows are masked to +inf before the min, so results are bit-identical
+    to the per-pair kernel (tests/test_prepare.py pins this)."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    B = len(pose_seqs)
+    J = pose_seqs[0].shape[1]
+    N = scenes.shape[1]
+    lmax = max(p.shape[0] for p in pose_seqs)
+    lmax = -(-lmax // 32) * 32  # bucket to multiples of 32
+    traj = np.zeros((B, lmax, J, 3), dtype=np.float32)
+    lens = np.zeros((B,), dtype=np.int32)
+    for i, p in enumerate(pose_seqs):
+        traj[i, : p.shape[0]] = p
+        lens[i] = p.shape[0]
+
+    key = (lmax, J, N)
+    if key not in _BATCH_KERNELS:
+        @jax.jit
+        def compute(traj, lens, scene):
+            t2 = jnp.sum(traj * traj, axis=-1)                 # (B, L, J)
+            s2 = jnp.sum(scene * scene, axis=-1)               # (B, N)
+            cross = jnp.einsum(
+                "bljd,bnd->bljn", traj, scene, precision=lax.Precision.HIGHEST
+            )
+            d2 = jnp.maximum(
+                t2[..., None] - 2 * cross + s2[:, None, None, :], 0.0
+            )
+            valid = jnp.arange(traj.shape[1])[None, :] < lens[:, None]
+            d2 = jnp.where(valid[:, :, None, None], d2, jnp.inf)
+            return jnp.sqrt(d2.min(axis=1)).swapaxes(1, 2)     # (B, N, J)
+
+        _BATCH_KERNELS[key] = compute
+    return np.asarray(_BATCH_KERNELS[key](
+        jnp.asarray(traj), jnp.asarray(lens), jnp.asarray(scenes)
+    ))
+
+
+def _flush_pending(pending: List[Tuple], save_dir: str, device: bool) -> None:
+    """Compute the chamfer maps for a chunk of staged pairs (one batched
+    device call when available) and write the per-pair output files."""
+    if device and len(pending) > 1:
+        try:
+            dists = joint_distance_map_batch(
+                [p[1] for p in pending],
+                np.stack([p[2][:, 0:3] for p in pending]),
+            )
+        except Exception:
+            dists = [joint_distance_map(p[1], p[2][:, 0:3], device=False)
+                     for p in pending]
+    else:
+        dists = [joint_distance_map(p[1], p[2][:, 0:3], device=device)
+                 for p in pending]
+    for (i, pose_seq, points, indices), dist in zip(pending, dists):
+        np.save(os.path.join(save_dir, "motions", f"{i:05d}.npy"), pose_seq)
+        np.savez(
+            os.path.join(save_dir, "contacts", f"{i:05d}.npz"),
+            points=points, mask=indices, dist=np.asarray(dist),
+        )
+
+
 def process(
     motions: Sequence[Tuple],
     scene_data: Dict[str, Dict],
@@ -77,6 +154,8 @@ def process(
     region_size: float = 4.0,
     traj_pad_ratio: float = 0.5,
     rng: Optional[np.random.Generator] = None,
+    chunk: int = 16,
+    device: bool = True,
 ) -> None:
     """Process motion-condition pairs into the contact_motion tree.
 
@@ -90,6 +169,7 @@ def process(
     os.makedirs(os.path.join(save_dir, "contacts"), exist_ok=True)
 
     anno_rows: List[List[str]] = []
+    pending: List[Tuple] = []  # chunked device chamfer (joint_distance_map_batch)
     for i, (pose_seq, texts, (scene_id, scene_trans), other_info) in enumerate(motions):
         pose_seq = pose_seq.copy().astype(np.float32)
         pelvis_seq = pose_seq[:, :3]
@@ -136,18 +216,17 @@ def process(
         pose_seq = pose_seq + trans_vec
         scene_trans = scene_trans + trans_vec
 
-        dist = joint_distance_map(pose_seq, points[:, 0:3])
-
-        np.save(os.path.join(save_dir, "motions", f"{i:05d}.npy"), pose_seq)
-        np.savez(
-            os.path.join(save_dir, "contacts", f"{i:05d}.npz"),
-            points=points, mask=indices, dist=dist,
-        )
+        pending.append((i, pose_seq, points, indices))
         anno_rows.append([
             scene_id,
             f"{scene_trans[0]:.8f}", f"{scene_trans[1]:.8f}", f"{scene_trans[2]:.8f}",
             utterances, append_info,
         ])
+        if len(pending) >= chunk:
+            _flush_pending(pending, save_dir, device)
+            pending = []
+    if pending:
+        _flush_pending(pending, save_dir, device)
 
     with open(os.path.join(save_dir, "anno.csv"), "w", newline="") as fp:
         writer = csv.writer(fp)

@@ -26,6 +26,23 @@ def test_joint_distance_map_matches_bruteforce():
     np.testing.assert_allclose(got_dev, want, rtol=1e-3, atol=1e-4)
 
 
+def test_joint_distance_map_batch_bit_matches_per_pair():
+    """The corpus-scale batched chamfer kernel must be BIT-identical to the
+    per-pair jitted kernel across ragged trajectory lengths (padding rows
+    masked before the min)."""
+    from afford_motion_tpu.prepare.contact_data import joint_distance_map_batch
+
+    rng = np.random.default_rng(3)
+    lengths = [7, 33, 32, 100]
+    poses = [rng.normal(size=(L, 22, 3)).astype(np.float32) for L in lengths]
+    scenes = rng.normal(size=(len(poses), 128, 3)).astype(np.float32)
+    got = joint_distance_map_batch(poses, scenes)
+    assert got.shape == (4, 128, 22)
+    for i, p in enumerate(poses):
+        want = joint_distance_map(p, scenes[i], device=True)
+        np.testing.assert_array_equal(got[i], want)
+
+
 def test_process_outputs_feed_the_dataset(tmp_path):
     rng = np.random.default_rng(1)
     N_SCENE, N_SAMPLE = 4096, 256
