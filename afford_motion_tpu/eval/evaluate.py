@@ -267,14 +267,24 @@ class Text2MotionInSceneEvaluator(Eval):
         self._fit_cache = None
 
     def eval_physics(self, sample_list, dataloader):
-        """(reference: evaluate.py:336-371)."""
+        """(reference: evaluate.py:336-371).
+
+        Shape discipline (round-5 rehearsal finding): every device call here
+        runs at a FIXED shape so the whole protocol pass compiles a handful
+        of programs instead of one per sequence — at 1000+ sequences with
+        ragged valid-lengths the old sliced-verts form recompiled per item,
+        which is minutes per compile over a remote backend. Physics runs on
+        the full padded (L, V, 3) stack and the valid-frame mean happens
+        host-side (per-frame values are independent — metric bit-identical);
+        object points for `dist` pad to 128-point buckets by repeating a
+        real point (idempotent under the max reduction)."""
         faces = jnp.asarray(self._fitter.faces)
         for i, sample in enumerate(sample_list):
             x_mask = np.asarray(sample["x_mask"])
             valid = ~x_mask
             # LBS from the (single) batched fit — per sequence to bound the
-            # (L, V, 4, 4) skinning intermediates
-            verts = self._fitter.vertices(self._fit_cache[i])[valid]  # (l, V, 3)
+            # (L, V, 4, 4) skinning intermediates; padded horizon kept
+            verts = self._fitter.vertices(self._fit_cache[i])   # (L, V, 3)
             xyz = jnp.asarray(sample["c_pc_xyz"])
 
             if "non_collision" in self.eval_metrics or "contact" in self.eval_metrics:
@@ -282,14 +292,24 @@ class Text2MotionInSceneEvaluator(Eval):
                     xyz, jnp.asarray(verts), faces,
                     kernel=str(self.cfg.get("sdf_kernel", "auto")),
                 )
-                self.metrics["non_collision"].append(float(np.mean(np.asarray(ncs))))
-                self.metrics["contact"].append(float(np.mean(np.asarray(cts))))
+                self.metrics["non_collision"].append(
+                    float(np.asarray(ncs)[valid].mean()))
+                self.metrics["contact"].append(
+                    float(np.asarray(cts)[valid].mean()))
 
             if "dist" in self.eval_metrics and sample.get("info_obj_mask") is not None:
-                obj = xyz[np.asarray(sample["info_obj_mask"], dtype=bool)]
+                obj = np.asarray(sample["c_pc_xyz"])[
+                    np.asarray(sample["info_obj_mask"], dtype=bool)]
                 if obj.shape[0] > 0:
-                    anchor = 0 if str(sample["c_text"]).startswith("stand up") else -1
-                    d = dist_to_obj(obj, jnp.asarray(verts[anchor]), faces)
+                    # last VALID frame (the padded stack's -1 is a pad frame)
+                    anchor = 0 if str(sample["c_text"]).startswith("stand up") \
+                        else int(valid.sum()) - 1
+                    bucket = -(-obj.shape[0] // 128) * 128
+                    obj = np.concatenate(
+                        [obj, np.repeat(obj[:1], bucket - obj.shape[0], axis=0)]
+                    )
+                    d = dist_to_obj(jnp.asarray(obj), jnp.asarray(verts[anchor]),
+                                    faces)
                     self.metrics["dist"].append(float(d))
 
     def eval_humanml(self, sample_list, k_samples_list, dataloader):

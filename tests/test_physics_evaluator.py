@@ -86,6 +86,49 @@ def test_physics_metrics_end_to_end(tmp_path, regressor_npz, monkeypatch):
     assert (tmp_path / "metrics.txt").exists()
 
 
+def test_physics_loop_compiles_once_across_ragged_lengths(
+    tmp_path, regressor_npz, monkeypatch
+):
+    """Round-5 rehearsal finding: at protocol scale the physics loop must
+    NOT recompile per sequence. Ragged valid-lengths and ragged object
+    masks run through ONE compiled physics program (padded horizon,
+    128-bucketed obj points) — at 1000+ sequences over a remote backend a
+    per-item compile is minutes each."""
+    monkeypatch.setenv("SMPLX_USE_SYNTHETIC", "1")
+    from afford_motion_tpu.eval import physics as phys
+    from afford_motion_tpu.eval.evaluate import Text2MotionInSceneEvaluator
+
+    cfg = DictConfig({"evaluator": {
+        "name": "Text2MotionInSceneEvaluator", "njoints": 22,
+        "k_samples": 0, "num_k_samples": 0, "eval_nbatch": 1,
+        "eval_metrics": ["non_collision", "contact", "dist"],
+        "save_results": False, "opt_rate": 0.02, "opt_steps": 2,
+        "joints_to_smplx_model_weights": regressor_npz,
+    }})
+    ev = Text2MotionInSceneEvaluator(cfg)
+    rng = np.random.default_rng(1)
+    L, N = 12, 256
+    samples = []
+    for i, m_len in enumerate((5, 9, 12)):   # ragged valid lengths
+        x_mask = np.arange(L) >= m_len
+        samples.append({
+            "sample": rng.normal(size=(L, 66)).astype(np.float32) * 0.3,
+            "x_mask": x_mask,
+            "c_pc_xyz": rng.normal(size=(N, 3)).astype(np.float32),
+            "c_text": "walk", "info_set": "HUMANISE", "info_index": i,
+            # ragged obj-point counts, same 128-bucket
+            "info_obj_mask": np.arange(N) < (40 + 17 * i),
+            "info_scene_trans": np.eye(4, dtype=np.float32),
+            "info_scene_mesh": "",
+        })
+    phys._physics_over_sequence_jit.clear_cache()
+    phys.dist_to_obj.clear_cache()
+    ev.evaluate(samples, [], str(tmp_path), _FakeLoader())
+    assert len(ev.metrics["non_collision"]) == 3
+    assert phys._physics_over_sequence_jit._cache_size() == 1
+    assert phys.dist_to_obj._cache_size() == 1
+
+
 def test_fit_mesh_sharding_equivalent(regressor_npz, monkeypatch):
     """Round-4 eval scale-out: JointsToSMPLXFitter.fit shards its batch
     over the data mesh (GSPMD; conftest provides 8 CPU devices). Rows are

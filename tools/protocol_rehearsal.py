@@ -198,6 +198,7 @@ def cmd_ckpt(args) -> None:
 # ---------------------------------------------------------------- gen
 def cmd_gen(args) -> None:
     root, mode, sampler = args.root, args.mode, args.sampler
+    tag = f"_{args.tag}" if args.tag else ""
     extra = args.extra.split() if args.extra else []
     if not args.skip_stage1:
         e = _run_cli(root, f"gen_s1_{mode}",
@@ -205,7 +206,7 @@ def cmd_gen(args) -> None:
         td = _latest_test_dir(root, "t2m_cdm")
         n_pred = len(list((td / "H3D" / "pred_contact").glob("*.npy")))
         e["n_pred_contact"] = n_pred
-        _ledger_update(root, f"gen_stage1_{mode}", _attach_timing(e, td))
+        _ledger_update(root, f"gen_stage1_{mode}{tag}", _attach_timing(e, td))
         contact_folder = str(td)
     else:
         led = json.loads(_ledger_path(root).read_text())
@@ -218,7 +219,7 @@ def cmd_gen(args) -> None:
     td = _latest_test_dir(root, "t2m_cmdm")
     e["n_humanml_pkl"] = len(list((td / "humanml").glob("*.pkl")))
     e["contact_folder"] = contact_folder
-    _ledger_update(root, f"gen_stage2_{mode}_{sampler}", _attach_timing(e, td))
+    _ledger_update(root, f"gen_stage2_{mode}_{sampler}{tag}", _attach_timing(e, td))
 
 
 # ---------------------------------------------------------------- offline
@@ -240,11 +241,12 @@ def cmd_offline(args) -> None:
             "--batch_size", str(args.batch_size)]
     if args.eval_mode == "mm_short":
         argv += ["--mm_results_dir", _dumps("gen_stage2_w_mm_ddpm")]
-    e = _run_cli(root, f"offline_{args.eval_mode}_{args.sampler}", argv)
+    tag = f"_{args.tag}" if getattr(args, "tag", "") else ""
+    e = _run_cli(root, f"offline_{args.eval_mode}_{args.sampler}{tag}", argv)
     out = Path(results) / f"eval_humanml_{args.eval_mode}.json"
     e["metrics_file"] = str(out)
     e["metrics_ok"] = out.exists()
-    _ledger_update(root, f"offline_{args.eval_mode}_{args.sampler}", e)
+    _ledger_update(root, f"offline_{args.eval_mode}_{args.sampler}{tag}", e)
 
 
 # ---------------------------------------------------------------- scene
@@ -402,6 +404,7 @@ def main() -> None:
     p.add_argument("--sampler", choices=["ddpm", "ddim50"], default="ddpm")
     p.add_argument("--skip-stage1", action="store_true")
     p.add_argument("--contact_folder", default=None)
+    p.add_argument("--tag", default="", help="ledger key suffix (e.g. warm)")
     p.add_argument("--extra", default="", help="extra CLI overrides (space-sep)")
     p.set_defaults(fn=cmd_gen)
 
@@ -412,6 +415,7 @@ def main() -> None:
                    help="which stage-2 generation run feeds the main pools")
     p.add_argument("--batch-size", type=int, default=32,
                    help="32 is the protocol (R-precision pools)")
+    p.add_argument("--tag", default="", help="ledger key suffix (e.g. warm)")
     p.set_defaults(fn=cmd_offline)
 
     p = sub.add_parser("scene")
