@@ -283,13 +283,14 @@ class Text2MotionInSceneEvaluator(Eval):
             x_mask = np.asarray(sample["x_mask"])
             valid = ~x_mask
             # LBS from the (single) batched fit — per sequence to bound the
-            # (L, V, 4, 4) skinning intermediates; padded horizon kept
-            verts = self._fitter.vertices(self._fit_cache[i])   # (L, V, 3)
+            # (L, V, 4, 4) skinning intermediates; padded horizon kept,
+            # vertex stack stays ON DEVICE between LBS and physics
+            verts = self._fitter.vertices_device(self._fit_cache[i])  # (L, V, 3)
             xyz = jnp.asarray(sample["c_pc_xyz"])
 
             if "non_collision" in self.eval_metrics or "contact" in self.eval_metrics:
                 ncs, cts = physics_over_sequence(
-                    xyz, jnp.asarray(verts), faces,
+                    xyz, verts, faces,
                     kernel=str(self.cfg.get("sdf_kernel", "auto")),
                 )
                 self.metrics["non_collision"].append(

@@ -228,10 +228,19 @@ class JointsToSMPLXFitter:
         """Fitted params (L, 69) -> body vertices (L, V, 3) via the jitted
         LBS (one sequence per call keeps the (L, V, 4, 4) skinning
         transforms small; fitting is the batched part)."""
+        return np.asarray(self.vertices_device(params))
+
+    def vertices_device(self, params: np.ndarray):
+        """Device-resident form of :meth:`vertices` — consumers that feed
+        the vertex stack straight back into jitted physics (evaluate.py
+        eval_physics) must NOT round-trip the ~25MB (L, V, 3) array
+        through the host (round-5 rehearsal finding: on a tunneled
+        backend that D2H+H2D pair was ~1s per sequence, dominating the
+        scene protocol)."""
         verts, _ = params_to_verts_joints(
             self.body_model, jnp.asarray(params, dtype=jnp.float32)
         )
-        return np.asarray(verts)
+        return verts
 
     def to_vertices(self, joints: np.ndarray, x_mask: np.ndarray) -> np.ndarray:
         """(B, L, 66) -> list-like (B, l_valid?, V, 3); returns the padded
