@@ -193,6 +193,14 @@ class JointsToSMPLXFitter:
         self._predict = jax.jit(
             lambda p, x, m: self.regressor.apply(p, x, m, train=False)
         )
+        # jitted LBS forward: the eager per-op cascade of smplx_forward is
+        # ~20x slower than the compiled program on a remote backend
+        # (round-5 scene-protocol probe: 653ms vs 34ms per 196-frame
+        # sequence); model arrays are closure constants so the np.asarray
+        # on parents resolves at trace time
+        self._verts_fn = jax.jit(
+            lambda p: params_to_verts_joints(self.body_model, p)[0]
+        )
 
     @property
     def faces(self) -> np.ndarray:
@@ -237,10 +245,7 @@ class JointsToSMPLXFitter:
         through the host (round-5 rehearsal finding: on a tunneled
         backend that D2H+H2D pair was ~1s per sequence, dominating the
         scene protocol)."""
-        verts, _ = params_to_verts_joints(
-            self.body_model, jnp.asarray(params, dtype=jnp.float32)
-        )
-        return verts
+        return self._verts_fn(jnp.asarray(params, dtype=jnp.float32))
 
     def to_vertices(self, joints: np.ndarray, x_mask: np.ndarray) -> np.ndarray:
         """(B, L, 66) -> list-like (B, l_valid?, V, 3); returns the padded
