@@ -53,6 +53,20 @@ def load_ckpt(state, path: str):
     )
 
 
+def load_raw(path: str):
+    """Restore (params, batch_stats) WITHOUT a shape template.
+
+    Inference entries (test.py/sample.py) used to build the template via a
+    jitted ``model.init`` — whose host-side trace/lowering of the flagship
+    graph costs ~2-3 min per process on a 1-core host and is NOT covered
+    by the persistent XLA cache (round-5 rehearsal measurement:
+    stage-2 init_restore ~170 s warm). The checkpoint already knows every
+    shape; restoring raw skips the init entirely."""
+    ckptr = ocp.StandardCheckpointer()
+    full = ckptr.restore(_abs(path))
+    return full["params"], full.get("batch_stats", {}) or {}
+
+
 def load_params(path: str, template_params: Any, template_bs: Any):
     """Restore only (params, batch_stats) for inference (test.py usage)."""
     ckptr = ocp.StandardCheckpointer()

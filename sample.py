@@ -64,11 +64,18 @@ def sample(cfg: DictConfig) -> None:
 
     ckpt = latest_ckpt(os.path.join(cfg.exp_dir, "ckpt"))
     assert ckpt is not None, "No checkpoint found."
-    first = next(iter(dataloader))
-    variables = _init_variables(model, diffusion, first, text_encoder)
-    params, batch_stats = load_params(
-        ckpt, variables["params"], variables.get("batch_stats", {})
-    )
+    # template-free restore (see test.py — skips minutes of init tracing)
+    try:
+        from afford_motion_tpu.train.checkpoint import load_raw
+
+        params, batch_stats = load_raw(ckpt)
+    except Exception as e:
+        logger.warning(f"raw restore failed ({e}); building init template")
+        first = next(iter(dataloader))
+        variables = _init_variables(model, diffusion, first, text_encoder)
+        params, batch_stats = load_params(
+            ckpt, variables["params"], variables.get("batch_stats", {})
+        )
     variables = {"params": params, "batch_stats": batch_stats}
     logger.info(f"Load checkpoint from {ckpt}")
 

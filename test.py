@@ -90,11 +90,20 @@ def test(cfg: DictConfig) -> None:
     ## checked before the (expensive) model init compile
     ckpt = latest_ckpt(os.path.join(cfg.exp_dir, "ckpt"))
     assert ckpt is not None, "No checkpoint found."
-    first_batch = next(iter(test_dataloader))
-    variables = _init_variables(model, diffusion, first_batch, text_encoder)
-    params, batch_stats = load_params(
-        ckpt, variables["params"], variables.get("batch_stats", {})
-    )
+    # raw template-free restore: the old jitted model.init template cost
+    # minutes of host-side tracing per invocation (not covered by the
+    # persistent XLA cache); the checkpoint carries every shape already
+    try:
+        from afford_motion_tpu.train.checkpoint import load_raw
+
+        params, batch_stats = load_raw(ckpt)
+    except Exception as e:  # older/partial checkpoints: template path
+        logger.warning(f"raw restore failed ({e}); building init template")
+        first_batch = next(iter(test_dataloader))
+        variables = _init_variables(model, diffusion, first_batch, text_encoder)
+        params, batch_stats = load_params(
+            ckpt, variables["params"], variables.get("batch_stats", {})
+        )
     variables = {"params": params, "batch_stats": batch_stats}
     logger.info(f"Load checkpoint from {ckpt}")
     timing["init_restore_s"] = time.monotonic() - t_start - timing["dataset_load_s"]

@@ -212,8 +212,7 @@ def cmd_gen(args) -> None:
         led = json.loads(_ledger_path(root).read_text())
         contact_folder = args.contact_folder or led[f"gen_stage1_{mode}"]["test_dir"]
 
-    tag = f"gen_s2_{mode}_{sampler}"
-    e = _run_cli(root, tag,
+    e = _run_cli(root, f"gen_s2_{mode}_{sampler}",
                  ["test.py"] + _stage2_overrides(root, mode, contact_folder, sampler)
                  + extra)
     td = _latest_test_dir(root, "t2m_cmdm")
