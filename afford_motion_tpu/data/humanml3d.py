@@ -196,10 +196,10 @@ class _H3DBase(BaseDataset):
             str(self.cfg.get("geometry_wire", "full")) == "fps",
         )
 
-    def _pick_caption(self, text_list: List[Dict]) -> Dict:
+    def _pick_caption(self, text_list: List[Dict], rng=None) -> Dict:
         if self.phase == "test":
             return text_list[0]  # fixed description for reproducible eval
-        return random.choice(text_list)
+        return (rng or random).choice(text_list)
 
     def _crop_motion(self, motion: np.ndarray, m_length: int) -> Tuple[np.ndarray, int]:
         """Crop to a 4-frame multiple with random start

@@ -102,8 +102,8 @@ class _MotionXBase(BaseDataset):
     def _scene_mesh_path(self, s: str, scene_id: str) -> str:
         return os.path.join(self.data_dir, s, "scenes", f"{full_name(s, scene_id, True)}.ply")
 
-    def _pick_text(self, desc: List[str]) -> str:
-        return random.choice(desc) if desc else ""
+    def _pick_text(self, desc: List[str], rng=None) -> str:
+        return (rng or random).choice(desc) if desc else ""
 
     def _color_feat(self, points: np.ndarray, scale: str = "sym") -> np.ndarray:
         """rgb features; 'sym' maps [-1,1]->[0,1], 'byte' maps /255."""

@@ -90,11 +90,11 @@ def _flag_chain(dataset, base=("NumpyToTensor",)):
     return chain
 
 
-def _draw_flags(chain, j, captions, flags):
+def _draw_flags(chain, j, captions, flags, npr=np.random):
     """Replay the flag-transform chain for item j (one np.random draw per
     transform, exactly like Compose would)."""
     for key, prob in chain:
-        draw = bool(np.random.rand() < prob)
+        draw = bool(npr.rand() < prob)
         if key == "__lang_null__":
             if draw:
                 captions[j] = ""
@@ -582,14 +582,25 @@ class DeviceStore:
         return True
 
     # ------------------------------------------------------------ host side
-    def draw_batch(self, dataset, item_ids) -> Dict[str, np.ndarray]:
+    def draw_batch(self, dataset, item_ids, py_rng=None,
+                   np_rng=None) -> Dict[str, np.ndarray]:
         """Host-side randomness for a batch of dataset item ids: caption
         choice, crop/rotation draws, optional contact-mix override — the
-        exact semantics (and RNG streams) of the dataset's __getitem__."""
+        exact semantics (and RNG streams) of the dataset's __getitem__.
+
+        ``py_rng``/``np_rng`` (random.Random / np.random.RandomState):
+        explicit per-call generators for resume-exact training — the
+        process-global modules are shared across threads, so seeding them
+        from the prefetcher worker races with any other consumer (the
+        round-5 resume bit-identity test caught exactly that: a
+        concurrent Orbax save perturbed the stream). Defaults keep the
+        global-stream behavior the dataset-parity tests rely on."""
+        rnd = py_rng or random
+        npr = np_rng or np.random
         if self.meta["kind"] == "motionx":
-            return self._draw_batch_motionx(dataset, item_ids)
+            return self._draw_batch_motionx(dataset, item_ids, rnd, npr)
         if self.meta["kind"].endswith("_contact"):
-            return _draw_batch_contact(self, dataset, item_ids)
+            return _draw_batch_contact(self, dataset, item_ids, rnd, npr)
         B = len(item_ids)
         crop_start = np.zeros((B,), np.int32)
         crop_len = np.zeros((B,), np.int32)
@@ -607,15 +618,15 @@ class DeviceStore:
         for j, idx in enumerate(item_ids):
             name = dataset.name_list[dataset.indices[idx]]
             item = dataset.data_dict[name]
-            text = dataset._pick_caption(item["text"])
+            text = dataset._pick_caption(item["text"], rnd)
             captions.append(text["caption"])
             L = int(item["length"])
             m_len = (L // u) * u
-            crop_start[j] = random.randint(0, L - m_len)
+            crop_start[j] = rnd.randint(0, L - m_len)
             crop_len[j] = m_len
             # np.random draw happens for EVERY item — RNG-stream parity
             # with the dataset __getitem__'s mix branch
-            mixed = np.random.random() < getattr(dataset, "mix_train_ratio", 0.0)
+            mixed = npr.random() < getattr(dataset, "mix_train_ratio", 0.0)
             if mixed and mix_contact is not None:
                 base = name.split("_")[-1]
                 cands = getattr(dataset, "pred_contact_dict", {}).get(base, [])
@@ -623,12 +634,12 @@ class DeviceStore:
                     from .. import native as nio
 
                     mix_contact[j] = nio.load(
-                        np.random.choice(cands)
+                        npr.choice(cands)
                     ).squeeze(0).astype(np.float16)
                     mix_mask[j] = True
             # CFG flag transforms run LAST in __getitem__ (the Compose
             # chain) — replay them here in the same np.random order
-            _draw_flags(chain, j, captions, flags)
+            _draw_flags(chain, j, captions, flags, npr)
         out = {
             "item_row": np.array(
                 [dataset.indices[i] for i in item_ids], dtype=np.int32
@@ -643,7 +654,8 @@ class DeviceStore:
         out.update(flags)
         return out
 
-    def _draw_batch_motionx(self, dataset, item_ids) -> Dict[str, np.ndarray]:
+    def _draw_batch_motionx(self, dataset, item_ids, rnd=random,
+                            npr=np.random) -> Dict[str, np.ndarray]:
         B = len(item_ids)
         captions = []
         rows = np.zeros((B,), np.int32)
@@ -658,10 +670,10 @@ class DeviceStore:
             resolved = dataset.indices[idx]
             s, i, _scene_id, _trans, desc = dataset.all_data[resolved]
             rows[j] = store_rows[resolved]
-            captions.append(dataset._pick_text(desc))
+            captions.append(dataset._pick_text(desc, rnd))
             # np.random stream order matches the dataset chain:
             # mix draw (inside _load_contact), then the rotation angle
-            mixed = np.random.random() < getattr(dataset, "mix_train_ratio", 0.0)
+            mixed = npr.random() < getattr(dataset, "mix_train_ratio", 0.0)
             if mixed and mix_contact is not None:
                 f = os.path.join(
                     dataset.data_dir, s, "pred_contact", f"{i:05d}.npy"
@@ -672,7 +684,7 @@ class DeviceStore:
                     mix_contact[j] = nio.load(f).squeeze(0).astype(np.float16)
                     mix_mask[j] = True
             if angle is not None:
-                angle[j] = np.random.uniform(-1.0, 1.0) * np.pi
+                angle[j] = npr.uniform(-1.0, 1.0) * np.pi
         out: Dict[str, Any] = {"item_row": rows, "c_text": captions}
         if angle is not None:
             out["aug_angle"] = angle
@@ -936,7 +948,7 @@ def _build_motionx_contact(cls_, dataset, max_bytes):
     return _finish_contact_store(cls_, host, meta, max_bytes)
 
 
-def _draw_batch_contact(store, dataset, item_ids):
+def _draw_batch_contact(store, dataset, item_ids, rnd=random, npr=np.random):
     """Stage-1 host draws: caption choice (+ rotation angle for motionx)."""
     B = len(item_ids)
     captions = []
@@ -948,14 +960,15 @@ def _draw_batch_contact(store, dataset, item_ids):
         resolved = dataset.indices[idx]
         if h3d:
             name = dataset.name_list[resolved]
-            captions.append(dataset._pick_caption(dataset.data_dict[name]["text"])["caption"])
+            captions.append(
+                dataset._pick_caption(dataset.data_dict[name]["text"], rnd)["caption"])
             rows[j] = resolved
         else:
             s, i, _sid, _tr, desc = dataset.all_data[resolved]
-            captions.append(dataset._pick_text(desc))
+            captions.append(dataset._pick_text(desc, rnd))
             rows[j] = srows[resolved]
         if angle is not None:
-            angle[j] = np.random.uniform(-1.0, 1.0) * np.pi
+            angle[j] = npr.uniform(-1.0, 1.0) * np.pi
     out = {"item_row": rows, "c_text": captions}
     if angle is not None:
         out["aug_angle"] = angle

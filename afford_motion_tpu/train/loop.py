@@ -353,9 +353,28 @@ class TrainLoop:
             # caption/crop/mix metadata and ships a few KB
             dset = self.dataloader.dataset
             store = self._dstore
+            # Exact crash-resume (the reference's resume is step-level only,
+            # utils/training.py:55-82): the host randomness for megabatch g
+            # (caption choice, crop start, mix/flag-transform draws) is a
+            # pure function of (base_seed, g) via EXPLICIT generator
+            # instances — not seeded globals, which other threads (e.g. a
+            # concurrent Orbax save) share — so a run resumed from the
+            # step-N checkpoint replays the exact uninterrupted stream
+            # (tests/test_resume.py, sensitivity-checked). The prefetcher
+            # worker calls prepare sequentially in stream order, so the
+            # counter is race-free.
+            import random as _random
+
+            group_counter = [int(jax.device_get(self.state.step)) // G]
 
             def prepare(ids):
-                meta = store.draw_batch(dset, ids)
+                gi = group_counter[0]
+                group_counter[0] += 1
+                py_rng = _random.Random(
+                    (self._base_seed * 1000003 + gi) & 0xFFFFFFFF)
+                np_rng = np.random.RandomState(
+                    (self._base_seed * 69069 + gi * 40503 + 12345) & 0x7FFFFFFF)
+                meta = store.draw_batch(dset, ids, py_rng=py_rng, np_rng=np_rng)
                 texts = meta.pop("c_text")
                 emb, tok_pad = self.text_encoder.encode_tokens(texts)
                 meta["text_emb"] = emb.astype(np.float16)
@@ -399,12 +418,29 @@ class TrainLoop:
                 conds = {k: np.stack([c[k] for _, c in prepared]) for k in keys}
                 return xs, conds
 
+            start_step = step
+            if start_step and not (mega or G == 1):
+                logger.warning(
+                    "resume on the grouped small-corpus path replays the "
+                    "data stream from epoch 0 (exact fast-forward needs "
+                    "megabatch, G=1, or the device store)"
+                )
+
             def batch_groups():
-                ep = epoch
+                # resume fast-forward: jump to the (epoch, batch) position
+                # the uninterrupted run would be at — each yielded group
+                # advances the step counter by G, and skipped batches cost
+                # index arithmetic only (loader.iter_batches)
                 group = []
+                if mega or G == 1:
+                    E = max(1, len(self.dataloader))
+                    start_group = start_step // G
+                    ep, off = start_group // E, start_group % E
+                else:
+                    ep, off = epoch, 0
                 while True:  # continuous stream; consumer breaks at max_steps
                     self.dataloader.set_epoch(ep)
-                    for b in self.dataloader:
+                    for b in self.dataloader.iter_batches(skip=off):
                         if mega:
                             yield b
                             continue
@@ -412,6 +448,7 @@ class TrainLoop:
                         if len(group) == G:
                             yield group
                             group = []
+                    off = 0
                     ep += 1
 
         from ..parallel.mesh import DevicePrefetcher
@@ -453,6 +490,13 @@ class TrainLoop:
                     profiling = False
                     logger.info("profiler trace written to log/profile")
                 epoch = step // steps_per_epoch
+                if os.environ.get("AM_DEBUG_BATCH_HASH"):
+                    import hashlib
+
+                    h = hashlib.sha1()
+                    for leaf in jax.tree_util.tree_leaves((xs, conds)):
+                        h.update(np.asarray(leaf).tobytes())
+                    logger.info(f"batch-hash step={step}: {h.hexdigest()[:16]}")
                 if G == 1:
                     xs, conds = xs[0], jax.tree_util.tree_map(lambda a: a[0], conds)
                 # integer seed, mixed on device inside the jitted step —

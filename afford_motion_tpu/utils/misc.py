@@ -50,9 +50,18 @@ def _enable_compile_cache() -> None:
         os.path.expanduser("~"), ".cache", "afford_motion_tpu", "xla"
     )
     try:
-        os.makedirs(cache_dir, exist_ok=True)
         import jax
 
+        # TPU-only: XLA:CPU cache entries are AOT-compiled against the
+        # builder machine's CPU features — loading them under different
+        # flags/feature sets produces NUMERICALLY DIFFERENT executables
+        # (caught by tests/test_resume.py bit-identity in the full suite).
+        # CPU compiles are fast anyway; the cache exists for the 1-3 min
+        # tunnel compiles.
+        plats = str(getattr(jax.config, "jax_platforms", "") or "")
+        if plats.split(",")[0].strip().lower() == "cpu":
+            return
+        os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     except Exception:
