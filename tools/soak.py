@@ -49,7 +49,10 @@ def build_data(root: Path, n_items: int, points: int) -> str:
     prepare_cli.cmd_sort(ap.Namespace(out_dir=str(data_dir), dataset="H3D"))
     prepare_cli.cmd_geometry(ap.Namespace(
         out_dir=str(data_dir), dataset="H3D", kind="sm", batch_size=32))
-    prepare_cli.cmd_pack(ap.Namespace(out_dir=str(data_dir), dataset="H3D"))
+    prepare_cli.cmd_pack(ap.Namespace(
+        out_dir=str(data_dir), dataset="H3D",
+        contact_type="contact_cont_joints",
+        contact_joints="0,10,11,12,20,21"))
     return str(data_dir)
 
 
