@@ -149,6 +149,94 @@ def _batches(dataset, batch_size: int, drop_last: bool = True):
 
 
 _CAT_KEYS = ("word_embs", "pos_ohot", "sent_len", "motion", "m_len")
+_DEVICE_KEYS = ("word_embs", "pos_ohot", "motion")  # the >99% of pool bytes
+
+
+class DeviceResidentPool:
+    """HBM-staged protocol pool: upload once, slice per extraction chunk.
+
+    The reference protocol re-reads every pool from host memory on every
+    pass (utils/eval/eval_humanml.py:8-50 iterates torch DataLoaders; FID
+    then re-extracts the WHOLE ground-truth pool a second time,
+    eval_humanml.py:53-74). On TPU the pool bytes (GT motions alone are
+    ~900 MB at protocol scale) dominate host->device traffic, so this
+    stages the concatenated pool in HBM once; matching and FID share the
+    staged arrays, and per-chunk extraction slices on device.
+
+    Bit-identical to the host path: pool DEFINITIONS (the loader's
+    batch-32 grouping, drop_last) are unchanged, the same concatenated
+    chunk arrays feed the same jitted encoders, and the length-sort is
+    applied as an on-device gather of the same align_idx
+    (EvaluatorWrapper device-input fast path). Lengths stay host-side so
+    the sort permutation is computed exactly as before.
+
+    ``motions`` overrides the staged motion column with an already
+    device-resident array (e.g. sampler output that never left HBM).
+    """
+
+    def __init__(self, batches, motions=None):
+        import jax.numpy as jnp
+
+        batches = list(batches)
+        self.sizes = [len(np.asarray(b["m_len"])) for b in batches]
+        self.host = {
+            k: np.concatenate([np.asarray(b[k]) for b in batches], axis=0)
+            for k in ("sent_len", "m_len")
+        }
+        self.dev = {}
+        for k in _DEVICE_KEYS:
+            if k == "motion" and motions is not None:
+                total = int(sum(self.sizes))
+                if len(motions) != total:
+                    raise ValueError(
+                        f"device motions rows {len(motions)} != pool rows {total}")
+                self.dev[k] = motions
+            else:
+                self.dev[k] = jnp.asarray(
+                    np.concatenate([np.asarray(b[k]) for b in batches], axis=0),
+                    dtype=jnp.float32,
+                )
+        self.bounds = np.concatenate([[0], np.cumsum(self.sizes)]).astype(int)
+
+    def chunks(self, extract_pools: int, keys: Sequence[str] = _CAT_KEYS):
+        """Yield ``(cat, sizes)`` per extraction chunk, with the host
+        path's exact grouping: full groups of ``extract_pools`` pools,
+        then tail pools singly (two compiled shapes)."""
+        n = len(self.sizes)
+        groups = [
+            list(range(a, a + extract_pools))
+            for a in range(0, n - n % extract_pools, extract_pools)
+        ] + [[i] for i in range(n - n % extract_pools, n)]
+        for g in groups:
+            a, b = int(self.bounds[g[0]]), int(self.bounds[g[-1] + 1])
+            cat = {}
+            for k in keys:
+                src = self.dev.get(k, self.host.get(k))
+                cat[k] = src[a:b]
+            yield cat, [self.sizes[i] for i in g]
+
+
+def _iter_chunks(loader, extract_pools: int, keys: Sequence[str] = _CAT_KEYS):
+    """Extraction chunks from either a host loader or a staged pool."""
+    if isinstance(loader, DeviceResidentPool):
+        yield from loader.chunks(extract_pools, keys)
+        return
+    buf = []
+
+    def cat(group):
+        return (
+            {k: np.concatenate([np.asarray(b[k]) for b in group], axis=0)
+             for k in keys},
+            [len(np.asarray(b["m_len"])) for b in group],
+        )
+
+    for batch in loader:
+        buf.append(batch)
+        if len(buf) == extract_pools:
+            yield cat(buf)
+            buf = []
+    for b in buf:               # tail pools keep the single-pool shape
+        yield cat([b])
 
 
 def evaluate_matching_score(wrapper: EvaluatorWrapper, loaders: Dict[str, DataLoader],
@@ -162,63 +250,57 @@ def evaluate_matching_score(wrapper: EvaluatorWrapper, loaders: Dict[str, DataLo
     matching score / R-precision are per-pool / per-row statistics. Pool
     DEFINITIONS (the loader's batch grouping) are unchanged; only full
     groups of ``extract_pools`` are merged so exactly two device shapes
-    compile (the big chunk and the single pool)."""
+    compile (the big chunk and the single pool).
+
+    ``loaders`` values may be host loaders (re-uploaded per pass) or
+    :class:`DeviceResidentPool` (HBM-staged once; bit-identical —
+    tests/test_eval_stack.py::test_device_resident_pool_bit_identical)."""
+    import jax.numpy as jnp
+
     match_score, r_precision, activations = OrderedDict(), OrderedDict(), OrderedDict()
     for name, loader in loaders.items():
-        all_emb, score_sum, top_k_count, size = [], 0.0, np.zeros(3), 0
-
-        def flush(pool_group):
-            nonlocal score_sum, top_k_count, size
-            cat = {k: np.concatenate([np.asarray(b[k]) for b in pool_group], axis=0)
-                   for k in _CAT_KEYS}
-            text_emb, motion_emb = wrapper.get_co_embeddings(
+        # extraction pass: embeddings stay ON DEVICE per chunk; one
+        # blocking device->host pull per loader (vs one per chunk — per-
+        # chunk pulls cost a full round-trip each on a remote TPU host)
+        chunk_embs, chunk_sizes = [], []
+        for cat, sizes in _iter_chunks(loader, extract_pools):
+            chunk_embs.append(wrapper.get_co_embeddings(
                 cat["word_embs"], cat["pos_ohot"], cat["sent_len"],
-                cat["motion"], cat["m_len"], unsort=True,
-            )
-            o = 0
-            for b in pool_group:
-                n = len(np.asarray(b["m_len"]))
-                te, me = text_emb[o: o + n], motion_emb[o: o + n]
+                cat["motion"], cat["m_len"], unsort=True, device_out=True,
+            ))
+            chunk_sizes.append(sizes)
+        text_all = np.asarray(jnp.concatenate([te for te, _ in chunk_embs], axis=0))
+        motion_all = np.asarray(jnp.concatenate([me for _, me in chunk_embs], axis=0))
+        # stats pass: identical per-pool slices and accumulation order as
+        # the per-chunk path — bit-identical results
+        score_sum, top_k_count, size, o = 0.0, np.zeros(3), 0, 0
+        for sizes in chunk_sizes:
+            for n in sizes:
+                te, me = text_all[o: o + n], motion_all[o: o + n]
                 dist = euclidean_distance_matrix(te, me)
                 score_sum += dist.trace()
                 top_k_count += calculate_top_k(np.argsort(dist, axis=1), 3).sum(axis=0)
                 size += n
-                all_emb.append(me)
                 o += n
-
-        buf = []
-        for batch in loader:
-            buf.append(batch)
-            if len(buf) == extract_pools:
-                flush(buf)
-                buf = []
-        for b in buf:               # tail pools keep the single-pool shape
-            flush([b])
         match_score[name] = score_sum / max(size, 1)
         r_precision[name] = top_k_count / max(size, 1)
-        activations[name] = np.concatenate(all_emb, axis=0)
+        activations[name] = motion_all
     return match_score, r_precision, activations
 
 
 def evaluate_fid(wrapper, gt_loader, activations, extract_pools: int = 8):
-    gt_emb, buf = [], []
+    import jax.numpy as jnp
 
-    def flush(group):
-        cat_m = np.concatenate([np.asarray(b["motion"]) for b in group], axis=0)
-        cat_l = np.concatenate([np.asarray(b["m_len"]) for b in group], axis=0)
+    gt_emb = []
+    for cat, _ in _iter_chunks(loader=gt_loader, extract_pools=extract_pools,
+                               keys=("motion", "m_len")):
         # unsort so the concatenated embedding ORDER (and therefore the
         # fp summation order inside the FID statistics) is independent of
-        # the extraction grouping
-        gt_emb.append(wrapper.get_motion_embeddings(cat_m, cat_l, unsort=True))
-
-    for batch in gt_loader:
-        buf.append(batch)
-        if len(buf) == extract_pools:
-            flush(buf)
-            buf = []
-    for b in buf:
-        flush([b])
-    gt_mu, gt_cov = calculate_activation_statistics(np.concatenate(gt_emb, axis=0))
+        # the extraction grouping; chunks stay on device, one pull below
+        gt_emb.append(wrapper.get_motion_embeddings(
+            cat["motion"], cat["m_len"], unsort=True, device_out=True))
+    gt_mu, gt_cov = calculate_activation_statistics(
+        np.asarray(jnp.concatenate(gt_emb, axis=0)))
     return OrderedDict(
         (name, calculate_frechet_distance(gt_mu, gt_cov, *calculate_activation_statistics(emb)))
         for name, emb in activations.items()
@@ -263,11 +345,21 @@ def eval_humanml(
     gen = EvalGenDataset(sample_list, gt.w_vectorizer)
 
     loaders = OrderedDict()
-    loaders["ground truth"] = _batches(gt, batch_size)
-    loaders["vald"] = _batches(gen, batch_size)
+    if os.environ.get("AM_EVAL_HOST_POOLS", "0") == "1":
+        loaders["ground truth"] = _batches(gt, batch_size)
+        loaders["vald"] = _batches(gen, batch_size)
+        gt_for_fid = _batches(gt, batch_size)
+    else:
+        # HBM-staged pools (DeviceResidentPool): upload each pool once;
+        # FID reuses matching's staged GT motions instead of a second
+        # full-pool upload. Metric values are bit-identical (FID reads
+        # only motions, which are deterministic across passes).
+        loaders["ground truth"] = DeviceResidentPool(_batches(gt, batch_size))
+        loaders["vald"] = DeviceResidentPool(_batches(gen, batch_size))
+        gt_for_fid = loaders["ground truth"]
 
     match_score, r_precision, activations = evaluate_matching_score(wrapper, loaders)
-    fid = evaluate_fid(wrapper, _batches(gt, batch_size), activations)
+    fid = evaluate_fid(wrapper, gt_for_fid, activations)
     diversity = OrderedDict(
         (name, calculate_diversity(emb, min(diversity_times, emb.shape[0] - 1)))
         for name, emb in activations.items()

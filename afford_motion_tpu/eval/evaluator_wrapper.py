@@ -49,6 +49,13 @@ class EvaluatorWrapper:
         self.params = params if params is not None else load_t2m_checkpoint(ckpt_path)
         self._co = jax.jit(self._co_embeddings)
         self._mo = jax.jit(self._motion_embedding)
+        # Device-input fast path (HBM-staged pools,
+        # eval_humanml.DeviceResidentPool): the length-sort permutation is
+        # applied as a standalone EAGER device gather, then the SAME
+        # jitted executable as the host path runs. Keeping the gather out
+        # of the jitted program guarantees bit-identical embeddings —
+        # fusing it in compiles a different XLA program whose tiling
+        # drifts at the ULP level (observed on TPU at protocol scale).
 
     # ---------------------------------------------------------------- kernels
     def _motion_embedding(self, motions, m_lens):
@@ -68,7 +75,7 @@ class EvaluatorWrapper:
 
     # ------------------------------------------------------------------- API
     def get_co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens,
-                          unsort: bool = False):
+                          unsort: bool = False, device_out: bool = False):
         """Length-desc-sorted protocol; text output re-aligned to the sorted
         motion order, matching the reference's semantics
         (evaluator_wrapper.py:254-273: both outputs follow align_idx).
@@ -78,28 +85,47 @@ class EvaluatorWrapper:
         per-item (the encoders have no cross-item ops), so this changes
         only row order — used by the pooled extraction path, where one
         device call covers several protocol pools and each pool's rows
-        must come back in place."""
+        must come back in place.
+
+        ``device_out=True`` returns jax arrays WITHOUT the blocking
+        device->host pull (the unsort gather runs on device) — callers
+        batching many chunks pull once at the end instead of paying one
+        blocking round-trip per chunk."""
         m_arr = np.asarray(m_lens)
         align_idx = np.argsort(m_arr)[::-1].copy()
-        motions = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
-        m_lens_s = jnp.asarray(m_arr[align_idx])
+        if isinstance(motions, jax.Array):
+            # eager on-device gather, then the same compiled _co as below
+            motions_s = motions.astype(jnp.float32)[jnp.asarray(align_idx)]
+        else:
+            motions_s = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
         text_emb, motion_emb = self._co(
             jnp.asarray(word_embs, dtype=jnp.float32),
             jnp.asarray(pos_ohot, dtype=jnp.float32),
             jnp.asarray(cap_lens),
-            motions,
-            m_lens_s,
+            motions_s,
+            jnp.asarray(m_arr[align_idx]),
         )
+        if device_out:
+            perm = np.argsort(align_idx) if unsort else None
+            if perm is not None:
+                return text_emb, motion_emb[jnp.asarray(perm)]
+            return text_emb[jnp.asarray(align_idx)], motion_emb
         text_emb, motion_emb = np.asarray(text_emb), np.asarray(motion_emb)
         if unsort:
             # text was computed in input order; motion needs the inverse
             return text_emb, motion_emb[np.argsort(align_idx)]
         return text_emb[align_idx], motion_emb
 
-    def get_motion_embeddings(self, motions, m_lens, unsort: bool = False):
+    def get_motion_embeddings(self, motions, m_lens, unsort: bool = False,
+                              device_out: bool = False):
         m_arr = np.asarray(m_lens)
         align_idx = np.argsort(m_arr)[::-1].copy()
-        motions = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
-        m_lens_s = jnp.asarray(m_arr[align_idx])
-        emb = np.asarray(self._mo(motions, m_lens_s))
+        if isinstance(motions, jax.Array):
+            motions_s = motions.astype(jnp.float32)[jnp.asarray(align_idx)]
+        else:
+            motions_s = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
+        emb = self._mo(motions_s, jnp.asarray(m_arr[align_idx]))
+        if device_out:
+            return emb[jnp.asarray(np.argsort(align_idx))] if unsort else emb
+        emb = np.asarray(emb)
         return emb[np.argsort(align_idx)] if unsort else emb

@@ -23,6 +23,7 @@ from collections import OrderedDict
 import numpy as np
 
 from afford_motion_tpu.eval.eval_humanml import (
+    DeviceResidentPool,
     _batches,
     evaluate_fid,
     evaluate_matching_score,
@@ -72,11 +73,22 @@ def run_evaluation(results_dir: str, *, data_dir: str = "./data",
         gen = H3DEvalDataset(results_dir, mean, std, w_vectorizer,
                              mode["num_samples_limit"])
         loaders = OrderedDict()
-        loaders["ground truth"] = _batches(gt, batch_size)
-        loaders["vald"] = _batches(gen, batch_size)
+        if os.environ.get("AM_EVAL_HOST_POOLS", "0") == "1":
+            # host path: every pass re-uploads pool bytes (the reference's
+            # DataLoader shape); kept as the bit-identity reference
+            loaders["ground truth"] = _batches(gt, batch_size)
+            loaders["vald"] = _batches(gen, batch_size)
+            gt_for_fid = _batches(gt, batch_size)
+        else:
+            # default: stage each pool in HBM once; matching + FID share
+            # the staged GT arrays (saves the protocol's second full GT
+            # upload), extraction slices on device
+            loaders["ground truth"] = DeviceResidentPool(_batches(gt, batch_size))
+            loaders["vald"] = DeviceResidentPool(_batches(gen, batch_size))
+            gt_for_fid = loaders["ground truth"]
 
         match, rprec, acts = evaluate_matching_score(wrapper, loaders)
-        fid = evaluate_fid(wrapper, _batches(gt, batch_size), acts)
+        fid = evaluate_fid(wrapper, gt_for_fid, acts)
         div = OrderedDict(
             (name, calculate_diversity(emb, min(mode["diversity_times"], emb.shape[0] - 1)))
             for name, emb in acts.items()

@@ -252,3 +252,59 @@ def test_pooled_extraction_bit_identical():
     f1 = evaluate_fid(wrapper, list(batches), a1, extract_pools=3)
     f2 = evaluate_fid(wrapper, list(batches), a2, extract_pools=1)
     assert f1["x"] == f2["x"]
+
+
+def test_device_resident_pool_bit_identical():
+    """Round-5 HBM-staged pools (DeviceResidentPool): staging a pool on
+    device once and slicing per extraction chunk must reproduce the host
+    path's statistics, activations, and FID BIT-identically — the only
+    change is where the concat/length-sort-gather runs, and a gather
+    reorders f32 rows exactly. Also covers the device-born motions
+    override (sampler output that never left HBM)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from afford_motion_tpu.eval.eval_humanml import (
+        DeviceResidentPool, evaluate_fid, evaluate_matching_score,
+    )
+    from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+    from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
+
+    rng = np.random.default_rng(11)
+    wrapper = EvaluatorWrapper(None, variant="mdm",
+                               params=synthetic_t2m_params())
+
+    def pools(n, b=8):
+        out = []
+        for a in range(0, n, b):
+            out.append({
+                "word_embs": rng.normal(size=(b, 22, 300)).astype(np.float32),
+                "pos_ohot": rng.normal(size=(b, 22, 15)).astype(np.float32),
+                "sent_len": rng.integers(5, 22, size=(b,)).astype(np.int32),
+                "motion": rng.normal(size=(b, 196, 263)).astype(np.float32),
+                "m_len": (rng.integers(10, 49, size=(b,)) * 4).astype(np.int32),
+            })
+        return out
+
+    batches = pools(40)            # 5 pools: one merged group of 3 + 2 tail
+    staged = DeviceResidentPool(batches)
+    m1, r1, a1 = evaluate_matching_score(
+        wrapper, {"x": list(batches)}, extract_pools=3)
+    m2, r2, a2 = evaluate_matching_score(
+        wrapper, {"x": staged}, extract_pools=3)
+    assert m1["x"] == m2["x"]
+    np.testing.assert_array_equal(r1["x"], r2["x"])
+    np.testing.assert_array_equal(a1["x"], a2["x"])
+
+    f1 = evaluate_fid(wrapper, list(batches), a1, extract_pools=3)
+    f2 = evaluate_fid(wrapper, staged, a2, extract_pools=3)
+    assert f1["x"] == f2["x"]
+
+    # device-born motions: pass the motion column as a jax array directly
+    dev_motions = jnp.asarray(
+        np.concatenate([b["motion"] for b in batches], axis=0))
+    staged_dev = DeviceResidentPool(batches, motions=dev_motions)
+    m3, r3, a3 = evaluate_matching_score(
+        wrapper, {"x": staged_dev}, extract_pools=3)
+    assert m1["x"] == m3["x"]
+    np.testing.assert_array_equal(a1["x"], a3["x"])

@@ -217,3 +217,49 @@ def test_eval_stack_f32_matmuls_exact_vs_cpu():
                                rtol=1e-3, atol=1e-4)
     np.testing.assert_allclose(np.asarray(verts_tpu), np.asarray(verts_cpu),
                                rtol=1e-3, atol=1e-3)
+
+
+def test_device_pool_extraction_bit_identical_on_tpu():
+    """Round-5 HBM-staged eval pools (eval_humanml.DeviceResidentPool):
+    on the COMPILED TPU path, staged extraction must be BIT-identical to
+    the host path. This holds only because the length-sort gather runs as
+    a standalone eager device op and the SAME jitted encoder executable
+    serves both paths — fusing the gather into the jit compiles a
+    different XLA program whose tiling drifts at the ULP level (observed
+    at protocol scale: one R-precision near-tie flip, ~1e-5 relative FID
+    movement). Interpret-mode CPU tests cannot catch this class."""
+    from afford_motion_tpu.eval.eval_humanml import (
+        DeviceResidentPool, evaluate_fid, evaluate_matching_score,
+    )
+    from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+    from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
+
+    rng = np.random.default_rng(23)
+    wrapper = EvaluatorWrapper(None, variant="mdm",
+                               params=synthetic_t2m_params())
+
+    def pools(n, b=32):
+        out = []
+        for _ in range(n):
+            out.append({
+                "word_embs": rng.normal(size=(b, 22, 300)).astype(np.float32),
+                "pos_ohot": rng.normal(size=(b, 22, 15)).astype(np.float32),
+                "sent_len": rng.integers(5, 22, size=(b,)).astype(np.int32),
+                "motion": rng.normal(size=(b, 196, 263)).astype(np.float32),
+                "m_len": (rng.integers(10, 49, size=(b,)) * 4).astype(np.int32),
+            })
+        return out
+
+    batches = pools(5)             # one merged group of 4 + 1 tail
+    staged = DeviceResidentPool(batches)
+    m1, r1, a1 = evaluate_matching_score(
+        wrapper, {"x": list(batches)}, extract_pools=4)
+    m2, r2, a2 = evaluate_matching_score(
+        wrapper, {"x": staged}, extract_pools=4)
+    assert m1["x"] == m2["x"]
+    np.testing.assert_array_equal(r1["x"], r2["x"])
+    np.testing.assert_array_equal(a1["x"], a2["x"])
+
+    f1 = evaluate_fid(wrapper, list(batches), a1, extract_pools=4)
+    f2 = evaluate_fid(wrapper, staged, a2, extract_pools=4)
+    assert f1["x"] == f2["x"]
