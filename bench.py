@@ -442,8 +442,11 @@ def bench_sampler_cdm(baselines: dict) -> None:
         "chains/sec", baselines,
         samples_per_sec=round(chains_per_sec * B, 2), dtype=DTYPE,
         spread=_spread(rates),
-        mfu=round(chains_per_sec * _flops_of(jax.jit(chain).lower(
-            jax.random.PRNGKey(0)).compile()) / _peak_flops(), 4),
+        # XLA's cost model counts the scan BODY once — multiply by the
+        # trip count for true chain FLOPs (tools/cdm_roofline.py)
+        mfu=round(chains_per_sec * diffusion.num_timesteps * _flops_of(
+            jax.jit(chain).lower(
+                jax.random.PRNGKey(0)).compile()) / _peak_flops(), 4),
     )
 
 

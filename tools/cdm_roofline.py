@@ -66,25 +66,37 @@ if __name__ == "__main__":
     step_fn, state, xs, conds, _ = bench._init_train(model, diffusion, x, cond)
     key = jax.random.PRNGKey(0)
     step_flops, step_bytes = _cost(step_fn.lower(state, xs, conds, key).compile())
-    t_step = _time(lambda: step_fn(state, xs, conds, key)[1]["loss"])
+    # the train step donates state (donate_argnums=(0,)) — time via the
+    # state-threading harness, not a fixed-args lambda
+    steps_per_sec, state, _ = bench._time_train(step_fn, state, xs, conds)
+    t_step = 1.0 / steps_per_sec
     results["train_step_ms"] = t_step * 1e3
     results["train_step_gflop"] = step_flops / 1e9
     results["train_step_hbm_mb"] = step_bytes / 1e6
     results["train_step_mfu"] = step_flops / t_step / peak
     results["train_step_hbm_gbps"] = step_bytes / t_step / 1e9
 
-    # forward fraction
+    # forward fraction — hierarchy HOISTED, as the train step and the
+    # sampler both hoist it (timing it inline would misattribute the
+    # one-off fps/kNN build to every forward); the build itself is timed
+    # separately below
     t0 = jnp.zeros((B,), dtype=jnp.int32)
-    variables = {"params": jax.device_get(state.params),
-                 "batch_stats": jax.device_get(state.batch_stats)}
+    # keep params DEVICE-resident (device_get would re-upload ~50 MB of
+    # host params per call through the tunnel, swamping the forward)
+    variables = {"params": state.params, "batch_stats": state.batch_stats}
+
+    hier = jax.jit(lambda cond: add_hierarchies(model, cond))
+    cond_h = hier(cond)
+    jax.block_until_ready(jax.tree_util.tree_leaves(cond_h)[0])
+    t_hier = _time(hier, cond)
+    results["hierarchy_build_ms"] = t_hier * 1e3
 
     @jax.jit
-    def fwd(variables, x, cond):
-        cond_h = add_hierarchies(model, cond)
+    def fwd(variables, x, cond_h):
         return model.apply(variables, x, t0, cond_h, train=False)
 
-    fwd_flops, fwd_bytes = _cost(fwd.lower(variables, x, cond).compile())
-    t_fwd = _time(fwd, variables, x, cond)
+    fwd_flops, fwd_bytes = _cost(fwd.lower(variables, x, cond_h).compile())
+    t_fwd = _time(fwd, variables, x, cond_h)
     results["fwd_ms"] = t_fwd * 1e3
     results["fwd_gflop"] = fwd_flops / 1e9
     results["fwd_hbm_mb"] = fwd_bytes / 1e6
@@ -98,15 +110,21 @@ if __name__ == "__main__":
         return sample_fn(variables, (B, N, 6), cond, k)
 
     cj = jax.jit(chain)
-    chain_flops, chain_bytes = _cost(cj.lower(key).compile())
+    # NOTE: XLA's cost model counts a lax.scan BODY ONCE — the compiled
+    # chain's reported flops/bytes are ~one denoiser step, not T of them.
+    # True chain totals multiply by num_timesteps (posterior math and
+    # outside-scan ops are <1% of a step).
+    T = diffusion.num_timesteps
+    body_flops, body_bytes = _cost(cj.lower(key).compile())
     t_chain = _time(cj, key, reps=3)
     results["chain_s"] = t_chain
-    results["chain_per_step_ms"] = t_chain / diffusion.num_timesteps * 1e3
-    results["chain_gflop"] = chain_flops / 1e9
-    results["chain_mfu"] = chain_flops / t_chain / peak
-    results["chain_hbm_gbps"] = chain_bytes / t_chain / 1e9
-    results["chain_per_step_hbm_mb"] = chain_bytes / diffusion.num_timesteps / 1e6
-    # denoiser-only forward == the scan body minus posterior math
+    results["chain_per_step_ms"] = t_chain / T * 1e3
+    results["chain_body_gflop"] = body_flops / 1e9
+    results["chain_mfu"] = body_flops * T / t_chain / peak
+    results["chain_hbm_gbps"] = body_bytes * T / t_chain / 1e9
+    results["chain_per_step_hbm_mb"] = body_bytes / 1e6
+    # denoiser-only forward vs the measured scan step (posterior + noise
+    # math accounts for the remainder)
     results["fwd_frac_of_chain_step"] = (
         results["fwd_ms"] / results["chain_per_step_ms"]
     )
