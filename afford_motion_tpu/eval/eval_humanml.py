@@ -307,15 +307,33 @@ def evaluate_fid(wrapper, gt_loader, activations, extract_pools: int = 8):
     )
 
 
-def evaluate_multimodality_metric(wrapper, k_samples_list, mm_num_times):
+def evaluate_multimodality_metric(wrapper, k_samples_list, mm_num_times,
+                                  extract_groups: int = 8):
+    """(reference: eval_humanml.py:53-74 multimodality path).
+
+    Extraction batches ``extract_groups`` k-sample groups per device call
+    (was one call per group — 100 round-trips at protocol scale).
+    ``unsort=True`` keeps each group's rows in input order; the MM
+    statistic pairs rows randomly (unseeded, by reference design), so
+    within-group order carries no meaning."""
     if not k_samples_list:
         return 0.0
-    embs = []
+    groups = []
     for ks in k_samples_list:
         m_len = int((~ks["x_mask"]).sum())
         k_motions = ks["k_samples"].astype(np.float32)
-        m_lens = np.full((len(k_motions),), m_len, dtype=np.int32)
-        embs.append(wrapper.get_motion_embeddings(k_motions, m_lens)[None])
+        groups.append((k_motions, m_len))
+    embs = []
+    for a in range(0, len(groups), extract_groups):
+        chunk = groups[a: a + extract_groups]
+        cat = np.concatenate([g[0] for g in chunk], axis=0)
+        lens = np.concatenate([
+            np.full((len(g[0]),), g[1], dtype=np.int32) for g in chunk])
+        emb = wrapper.get_motion_embeddings(cat, lens, unsort=True)
+        o = 0
+        for g in chunk:
+            embs.append(emb[o: o + len(g[0])][None])
+            o += len(g[0])
     embs = np.concatenate(embs, axis=0)
     if embs.shape[1] <= mm_num_times:
         mm_num_times = max(embs.shape[1] - 1, 1)

@@ -47,6 +47,15 @@ class EvaluatorWrapper:
         # synthetic_t2m_params for shape-honest benches) bypass the torch
         # checkpoint load
         self.params = params if params is not None else load_t2m_checkpoint(ckpt_path)
+        # Params are passed as jit ARGUMENTS, not closure constants: with
+        # them baked into the HLO every distinct checkpoint is a distinct
+        # program — a persistent-compile-cache MISS and a full ~3.5 min
+        # remote compile per checkpoint per process (measured: the whole
+        # offline eval was compile-bound because of this). As arguments
+        # the program is checkpoint-independent: one compile per shape,
+        # shared across processes/checkpoints via the persistent cache;
+        # weights upload once per process.
+        self._dev_params = None
         self._co = jax.jit(self._co_embeddings)
         self._mo = jax.jit(self._motion_embedding)
         # Device-input fast path (HBM-staged pools,
@@ -57,19 +66,46 @@ class EvaluatorWrapper:
         # fusing it in compiles a different XLA program whose tiling
         # drifts at the ULP level (observed on TPU at protocol scale).
 
+    def _staged_params(self):
+        """Stage checkpoint weights in HBM as ONE packed transfer.
+
+        ``jax.device_put`` of the raw pytree issues one RPC per leaf on
+        the remote backend — measured MINUTES for this 42-leaf/87 MB tree
+        through the tunnel, and it was the hidden variable cost of every
+        fresh-process evaluation. A single concatenated upload runs at
+        wire speed; the per-leaf views are device-side slices (bitwise
+        the same values)."""
+        if self._dev_params is None:
+            leaves, treedef = jax.tree_util.tree_flatten(self.params)
+            np_leaves = [np.asarray(l) for l in leaves]
+            by_dtype = {}
+            for i, l in enumerate(np_leaves):
+                by_dtype.setdefault(l.dtype.str, []).append(i)
+            out = [None] * len(np_leaves)
+            for dt, idxs in by_dtype.items():
+                flat = np.concatenate([np_leaves[i].ravel() for i in idxs])
+                dev = jnp.asarray(flat)  # one transfer per dtype group
+                o = 0
+                for i in idxs:
+                    n = np_leaves[i].size
+                    out[i] = dev[o: o + n].reshape(np_leaves[i].shape)
+                    o += n
+            self._dev_params = jax.tree_util.tree_unflatten(treedef, out)
+        return self._dev_params
+
     # ---------------------------------------------------------------- kernels
-    def _motion_embedding(self, motions, m_lens):
+    def _motion_embedding(self, params, motions, m_lens):
         if self.opt["strip_last4"]:
             motions = motions[..., :-4]
-        movements = movement_encoder(self.params["movement_encoder"], motions)
+        movements = movement_encoder(params["movement_encoder"], motions)
         return motion_encoder(
-            self.params["motion_encoder"], movements, m_lens // self.opt["unit_length"]
+            params["motion_encoder"], movements, m_lens // self.opt["unit_length"]
         )
 
-    def _co_embeddings(self, word_embs, pos_ohot, cap_lens, motions, m_lens):
-        motion_emb = self._motion_embedding(motions, m_lens)
+    def _co_embeddings(self, params, word_embs, pos_ohot, cap_lens, motions, m_lens):
+        motion_emb = self._motion_embedding(params, motions, m_lens)
         text_emb = text_encoder(
-            self.params["text_encoder"], word_embs, pos_ohot, cap_lens
+            params["text_encoder"], word_embs, pos_ohot, cap_lens
         )
         return text_emb, motion_emb
 
@@ -99,6 +135,7 @@ class EvaluatorWrapper:
         else:
             motions_s = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
         text_emb, motion_emb = self._co(
+            self._staged_params(),
             jnp.asarray(word_embs, dtype=jnp.float32),
             jnp.asarray(pos_ohot, dtype=jnp.float32),
             jnp.asarray(cap_lens),
@@ -124,7 +161,8 @@ class EvaluatorWrapper:
             motions_s = motions.astype(jnp.float32)[jnp.asarray(align_idx)]
         else:
             motions_s = jnp.asarray(np.asarray(motions)[align_idx], dtype=jnp.float32)
-        emb = self._mo(motions_s, jnp.asarray(m_arr[align_idx]))
+        emb = self._mo(self._staged_params(), motions_s,
+                       jnp.asarray(m_arr[align_idx]))
         if device_out:
             return emb[jnp.asarray(np.argsort(align_idx))] if unsort else emb
         emb = np.asarray(emb)

@@ -58,9 +58,19 @@ def run_evaluation(results_dir: str, *, data_dir: str = "./data",
                    ckpt: str = "./data/eval/t2m_evaluator/finest.tar",
                    eval_mode: str = "wo_mm", batch_size: int = 32,
                    mm_results_dir: str | None = None):
+    import time
+
+    t_stage = time.perf_counter()
+
+    def _mark(stage):
+        nonlocal t_stage
+        logger.info(f"[timing] {stage}: {time.perf_counter() - t_stage:.2f}s")
+        t_stage = time.perf_counter()
+
     mode = EVAL_MODES[eval_mode]
     wrapper = EvaluatorWrapper(ckpt, variant="mdm")
     w_vectorizer = create_word_vectorizer(os.path.join(eval_meta_dir, "glove"))
+    _mark("wrapper+vectorizer")
     ms = np.load(os.path.join(eval_meta_dir, "meta", "t2m_mean_std.npz"))
     mean, std = ms["mean"], ms["std"]
 
@@ -72,6 +82,7 @@ def run_evaluation(results_dir: str, *, data_dir: str = "./data",
         gt = H3DGTEvalDataset(data_dir, mean, std, w_vectorizer)
         gen = H3DEvalDataset(results_dir, mean, std, w_vectorizer,
                              mode["num_samples_limit"])
+        _mark("datasets")
         loaders = OrderedDict()
         if os.environ.get("AM_EVAL_HOST_POOLS", "0") == "1":
             # host path: every pass re-uploads pool bytes (the reference's
@@ -86,9 +97,12 @@ def run_evaluation(results_dir: str, *, data_dir: str = "./data",
             loaders["ground truth"] = DeviceResidentPool(_batches(gt, batch_size))
             loaders["vald"] = DeviceResidentPool(_batches(gen, batch_size))
             gt_for_fid = loaders["ground truth"]
+        _mark("pool build/staging")
 
         match, rprec, acts = evaluate_matching_score(wrapper, loaders)
+        _mark("matching")
         fid = evaluate_fid(wrapper, gt_for_fid, acts)
+        _mark("fid")
         div = OrderedDict(
             (name, calculate_diversity(emb, min(mode["diversity_times"], emb.shape[0] - 1)))
             for name, emb in acts.items()
@@ -115,6 +129,13 @@ def run_evaluation(results_dir: str, *, data_dir: str = "./data",
 
 
 def main():
+    # honor JAX_PLATFORMS + enable the persistent compile cache — this
+    # was the ONLY CLI entry without it, which made every offline-eval
+    # process pay the full remote encoder compile (~150-270 s measured,
+    # dominating the whole evaluation)
+    from afford_motion_tpu.utils.misc import apply_platform_env
+
+    apply_platform_env()
     parser = argparse.ArgumentParser()
     parser.add_argument("--results_dir", required=True)
     parser.add_argument("--mm_results_dir", default=None)

@@ -207,6 +207,9 @@ def cmd_target_mask(args) -> None:
 
 
 def main() -> None:
+    from afford_motion_tpu.utils.misc import apply_platform_env
+
+    apply_platform_env()  # honor JAX_PLATFORMS + persistent compile cache
     parser = argparse.ArgumentParser()
     parser.add_argument("stage", choices=[
         "process", "smplx_to_vec", "process_scene", "contact_data", "sort",
