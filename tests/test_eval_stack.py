@@ -308,3 +308,27 @@ def test_device_resident_pool_bit_identical():
         wrapper, {"x": staged_dev}, extract_pools=3)
     assert m1["x"] == m3["x"]
     np.testing.assert_array_equal(a1["x"], a3["x"])
+
+
+def test_staged_params_packing_bit_identical():
+    """Round-5 packed params staging (_staged_params concatenates leaves
+    per dtype into one transfer and slices device-side): the staged tree
+    must equal the host tree bitwise, leaf for leaf."""
+    import jax
+    import numpy as np
+
+    from afford_motion_tpu.eval.evaluator_wrapper import EvaluatorWrapper
+    from afford_motion_tpu.eval.t2m_models import synthetic_t2m_params
+
+    wrapper = EvaluatorWrapper(None, variant="mdm",
+                               params=synthetic_t2m_params())
+    staged = wrapper._staged_params()
+    host_leaves, host_def = jax.tree_util.tree_flatten(wrapper.params)
+    dev_leaves, dev_def = jax.tree_util.tree_flatten(staged)
+    assert host_def == dev_def
+    assert len(host_leaves) == len(dev_leaves)
+    for h, d in zip(host_leaves, dev_leaves):
+        h = np.asarray(h)
+        d = np.asarray(d)
+        assert h.shape == d.shape and h.dtype == d.dtype
+        np.testing.assert_array_equal(h, d)
