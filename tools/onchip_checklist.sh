@@ -45,4 +45,18 @@ archive bench_full bench_full $?
 run cdm_roofline python tools/cdm_roofline.py
 archive cdm_roofline cdm_roofline $?
 
+# 3. offline-eval steady state (round 5e: params-as-args + persistent
+#    cache => fresh-process matching should be seconds, not minutes).
+#    Needs the rehearsal assets; run twice — first populates the cache.
+if [ -d /tmp/r05/outputs ]; then
+  run offline_eval_warm1 python tools/protocol_rehearsal.py offline \
+      --root /tmp/r05 --eval_mode wo_mm --tag staged
+  run offline_eval_warm2 python tools/protocol_rehearsal.py offline \
+      --root /tmp/r05 --eval_mode wo_mm --tag staged
+  archive offline_eval_warm2 offline_eval_steady $?
+else
+  echo "    (skip offline steady-state: /tmp/r05 assets absent —" \
+       "regenerate via protocol_rehearsal.py setup)" | tee -a "$OUT/queue.log"
+fi
+
 echo "=== queue done ($(date +%H:%M:%S))" | tee -a "$OUT/queue.log"
